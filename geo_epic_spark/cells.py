@@ -1,0 +1,140 @@
+"""Discrete global grid cell index — the engine's spatial key.
+
+A lat/lon lattice at a configurable resolution plays the role H3 res-9 /
+S2 level-13 play in the north rule (neither native lib is available in this
+container, and a rectangular lattice matches the reference's own grids: the
+1-km climate lattice at 0.00901 deg, `geoEpic/weather/download_daily.py:62-70`,
+and raster pixel centers, `geoEpic/utils/raster_utils.py:238-247`).
+
+Identity: ``cell_id = row * 2^32 + col`` with
+``row = floor((lat + 90) / res)``, ``col = floor((lon + 180) / res)``.
+
+Everything here is expressed three ways with identical arithmetic:
+  * Spark ``Column`` expressions (JVM-side, codegen-friendly — the hot path),
+  * numpy (oracles and fixture generation),
+  * ANSI-SQL strings (DuckDB correctness oracles).
+No UDFs: encode / k-ring / bbox-cover are pure integer arithmetic, so the
+spatial prefilter join stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: reference climate-grid resolution, `weather/download_daily.py:62` ("1 km").
+RES_1KM = 0.00901
+
+_SHIFT = 2**32
+
+
+# ---------------------------------------------------------------------------
+# Spark Column expressions
+# ---------------------------------------------------------------------------
+
+def cell_row(lat: Column, res: float) -> Column:
+    return F.floor((lat + F.lit(90.0)) / F.lit(res)).cast("long")
+
+
+def cell_col(lon: Column, res: float) -> Column:
+    return F.floor((lon + F.lit(180.0)) / F.lit(res)).cast("long")
+
+
+def cell_id(lon: Column, lat: Column, res: float) -> Column:
+    """Encode a point to its cell id (pure arithmetic, no UDF)."""
+    return cell_row(lat, res) * F.lit(_SHIFT) + cell_col(lon, res)
+
+
+def cell_center(cid: Column, res: float) -> tuple[Column, Column]:
+    """(lon, lat) of a cell's center."""
+    row = (cid / F.lit(_SHIFT)).cast("long")
+    col = cid - row * F.lit(_SHIFT)
+    lon = (col.cast("double") + F.lit(0.5)) * F.lit(res) - F.lit(180.0)
+    lat = (row.cast("double") + F.lit(0.5)) * F.lit(res) - F.lit(90.0)
+    return lon, lat
+
+
+def k_ring(cid: Column, k: int) -> Column:
+    """array<long> of all cells within Chebyshev distance ``k`` (the
+    (2k+1)^2 block). Analog of neighbor expansion for kNN fallback —
+    replaces the reference's BallTree probe (`utils/raster_utils.py:16-30`).
+    Pure ``sequence``/``transform`` — stays JVM-side.
+    """
+    row = (cid / F.lit(_SHIFT)).cast("long")
+    col = cid - row * F.lit(_SHIFT)
+    drs = F.sequence(F.lit(-k), F.lit(k))
+    dcs = F.sequence(F.lit(-k), F.lit(k))
+    return F.flatten(
+        F.transform(
+            drs,
+            lambda dr: F.transform(dcs, lambda dc: (row + dr) * F.lit(_SHIFT) + (col + dc)),
+        )
+    )
+
+
+def ring_shell(cid: Column, k: int) -> Column:
+    """array<long> of cells at Chebyshev distance exactly ``k`` (the shell),
+    used by iterative kNN expansion so ring r+1 doesn't re-probe ring r."""
+    if k == 0:
+        return F.array(cid)
+    row = (cid / F.lit(_SHIFT)).cast("long")
+    col = cid - row * F.lit(_SHIFT)
+    rng = F.sequence(F.lit(-k), F.lit(k))
+    top = F.transform(rng, lambda dc: (row - k) * F.lit(_SHIFT) + (col + dc))
+    bot = F.transform(rng, lambda dc: (row + k) * F.lit(_SHIFT) + (col + dc))
+    mid = F.sequence(F.lit(-k + 1), F.lit(k - 1))
+    lft = F.transform(mid, lambda dr: (row + dr) * F.lit(_SHIFT) + (col - k))
+    rgt = F.transform(mid, lambda dr: (row + dr) * F.lit(_SHIFT) + (col + k))
+    return F.concat(top, bot, lft, rgt)
+
+
+def cover_bbox(
+    lon_min: Column, lat_min: Column, lon_max: Column, lat_max: Column, res: float
+) -> Column:
+    """array<long> of every cell intersecting the bbox — the covering-set
+    prefilter for PIP joins (analog of the reference's bbox prefilter before
+    exact geometry tests, `utils/crop_csb.py:23-35`)."""
+    r0, r1 = cell_row(lat_min, res), cell_row(lat_max, res)
+    c0, c1 = cell_col(lon_min, res), cell_col(lon_max, res)
+    return F.flatten(
+        F.transform(
+            F.sequence(r0, r1),
+            lambda r: F.transform(F.sequence(c0, c1), lambda c: r * F.lit(_SHIFT) + c),
+        )
+    )
+
+
+def cover_polygon(xs: Column, ys: Column, res: float) -> Column:
+    """Covering set of a polygon given vertex arrays (bbox superset)."""
+    return cover_bbox(
+        F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys), res
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy mirror (oracles, fixtures)
+# ---------------------------------------------------------------------------
+
+def np_cell_id(lon: np.ndarray, lat: np.ndarray, res: float) -> np.ndarray:
+    row = np.floor((np.asarray(lat) + 90.0) / res).astype(np.int64)
+    col = np.floor((np.asarray(lon) + 180.0) / res).astype(np.int64)
+    return row * _SHIFT + col
+
+
+def np_cell_center(cid: np.ndarray, res: float) -> tuple[np.ndarray, np.ndarray]:
+    cid = np.asarray(cid, dtype=np.int64)
+    row = cid // _SHIFT
+    col = cid - row * _SHIFT
+    return (col + 0.5) * res - 180.0, (row + 0.5) * res - 90.0
+
+
+# ---------------------------------------------------------------------------
+# ANSI-SQL emitters (DuckDB oracle parity — identical arithmetic)
+# ---------------------------------------------------------------------------
+
+def sql_cell_id(lon_expr: str, lat_expr: str, res: float) -> str:
+    return (
+        f"(CAST(floor(({lat_expr} + 90.0) / {res!r}) AS BIGINT) * 4294967296"
+        f" + CAST(floor(({lon_expr} + 180.0) / {res!r}) AS BIGINT))"
+    )

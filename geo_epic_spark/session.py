@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the spatial-join workload.
+
+Defaults are chosen for scale-out behaviour (AQE, skew-join splitting,
+Arrow-batched UDF transfer) and apply identically on a real multi-executor
+cluster; ``local[n]`` is only the test harness. Replaces the reference's
+hand-rolled process pools (`geoEpic/utils/parallel.py:37-97`) with Spark task
+scheduling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    # AQE: runtime re-planning, skew-join splitting, partition coalescing —
+    # the north rule's skew story rides on these plus explicit salting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+    # Arrow for every pandas UDF / mapInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Broadcast dims aggressively; grids/polygon tables are usually << facts.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Keep shuffle partition count moderate for local runs; AQE coalesces.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    cpus: int | str | None = None,
+    app_name: str = "geo-epic-spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cpus: parallelism for local mode ('*' or an int). On a real cluster the
+    master comes from spark-submit and this argument is ignored by Spark.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
