@@ -1,0 +1,324 @@
+"""Spatial assignment joins — the engine's flagship operators.
+
+Re-expresses the reference's BallTree nearest-neighbor lookups
+(`geoEpic/utils/raster_utils.py:16-30`, `:198-236`), SDA point-in-polygon
+intersection (`geoEpic/soil/sda.py:59-100`) and zonal statistics
+(`geoEpic/utils/raster_utils.py:53-108`) as cell-indexed DataFrame joins:
+
+  1. both sides are keyed to lattice cells by pure Column arithmetic
+     (geo_epic_spark.cells — JVM-side, codegen),
+  2. a cell equi-join produces candidates (broadcast when one side is small;
+     salting + AQE handle dense-cell skew),
+  3. an Arrow-batched pandas UDF refines candidates (exact ray-cast PIP) or a
+     window ranks candidates by distance (kNN).
+
+At 100 TB the expensive part is the shuffle of the big side, which happens
+exactly once on the cell key; the polygon/grid side is broadcast or
+pre-exploded and reused.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from geo_epic_spark import cells
+from geo_epic_spark.geometry import points_in_polygon
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon refine UDF (vectorized per polygon within each Arrow batch)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(BooleanType())
+def _pip_udf(px: pd.Series, py: pd.Series, poly_id: pd.Series,
+             xs: pd.Series, ys: pd.Series) -> pd.Series:
+    out = np.zeros(len(px), dtype=bool)
+    pxv = px.to_numpy(dtype=np.float64)
+    pyv = py.to_numpy(dtype=np.float64)
+    # candidates arrive clustered by polygon (they come out of an equi-join on
+    # the polygon's covering cells), so group-by-polygon inside the batch keeps
+    # the ray-cast vectorized over many points per polygon.
+    for pid, idx in pd.Series(range(len(px))).groupby(poly_id.to_numpy()).groups.items():
+        ii = np.asarray(idx)
+        vx = np.asarray(xs.iloc[ii[0]], dtype=np.float64)
+        vy = np.asarray(ys.iloc[ii[0]], dtype=np.float64)
+        out[ii] = points_in_polygon(pxv[ii], pyv[ii], vx, vy)
+    return pd.Series(out)
+
+
+def _maybe_broadcast(df: DataFrame, do: bool) -> DataFrame:
+    return F.broadcast(df) if do else df
+
+
+def add_salt(df: DataFrame, key: str | Column, buckets: int,
+             name: str = "salt") -> DataFrame:
+    """Explicit skew salt: deterministic bucket from a secondary hash.
+
+    Used on the big (probe) side of a dense-cell join; the build side is
+    replicated ``buckets`` times via ``explode(sequence(...))`` by the caller.
+    North rule: "skew from dense cells handled with salted broadcast joins".
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return df.withColumn(name, F.pmod(F.xxhash64(k), F.lit(buckets)))
+
+
+def replicate_for_salt(df: DataFrame, buckets: int, name: str = "salt") -> DataFrame:
+    """Replicate the (small, broadcast) build side across all salt buckets."""
+    return df.withColumn(name, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+
+
+def pip_join(
+    points: DataFrame,
+    polys: DataFrame,
+    res: float = cells.RES_1KM * 4,
+    lon: str = "lon",
+    lat: str = "lat",
+    poly_id: str = "poly_id",
+    xs: str = "xs",
+    ys: str = "ys",
+    how: str = "inner",
+    broadcast_polys: bool = True,
+    keep_poly_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-polygon assignment join.
+
+    Each point row gains the ``poly_id`` (and ``keep_poly_cols``) of every
+    polygon containing it. Semantics follow the reference's WKT-intersection
+    queries (`soil/sda.py:59-100`): inner drops unmatched points, 'left'
+    keeps them with null poly_id.
+
+    Plan shape: polys → explode covering cells (bbox superset, pure arithmetic)
+    → equi-join on cell (broadcast if small) → exact ray-cast refine (Arrow
+    UDF). A (point, polygon) candidate appears exactly once because a point
+    has exactly one cell, so no post-join dedup is needed.
+    """
+    keep = keep_poly_cols or []
+    poly_cells = polys.select(
+        F.col(poly_id).alias("__pid"),
+        F.col(xs).alias("__xs"),
+        F.col(ys).alias("__ys"),
+        *[F.col(c) for c in keep],
+        F.explode(cells.cover_polygon(F.col(xs), F.col(ys), res)).alias("__cell"),
+    )
+    pts = points.withColumn("__cell", cells.cell_id(F.col(lon), F.col(lat), res))
+    cand = pts.join(_maybe_broadcast(poly_cells, broadcast_polys), "__cell", "inner")
+    hit = cand.filter(
+        _pip_udf(F.col(lon), F.col(lat), F.col("__pid"), F.col("__xs"), F.col("__ys"))
+    ).drop("__xs", "__ys", "__cell").withColumnRenamed("__pid", poly_id)
+    if how == "inner":
+        return hit
+    if how == "left":
+        matched = hit
+        missed = pts.drop("__cell").join(
+            hit.select(*[F.col(c) for c in points.columns]).distinct(),
+            on=points.columns, how="left_anti",
+        ).withColumn(poly_id, F.lit(None).cast("long"))
+        for c in keep:
+            missed = missed.withColumn(c, F.lit(None))
+        return matched.unionByName(missed)
+    raise ValueError(f"how={how!r} not supported (inner|left)")
+
+
+# ---------------------------------------------------------------------------
+# nearest-grid (kNN) join — replaces BallTree find_nearest
+# ---------------------------------------------------------------------------
+
+def _dist2_deg(px: Column, py: Column, gx: Column, gy: Column) -> Column:
+    """Squared euclidean distance on raw degrees — bit-exact, and faithful to
+    the reference's default minkowski-on-degrees metric
+    (`utils/raster_utils.py:16` ``metric='minkowski'``)."""
+    return (px - gx) * (px - gx) + (py - gy) * (py - gy)
+
+
+def _haversine_km(px: Column, py: Column, gx: Column, gy: Column) -> Column:
+    r = F.lit(6371.0088)
+    p1, p2 = F.radians(py), F.radians(gy)
+    dlat = F.radians(gy - py)
+    dlon = F.radians(gx - px)
+    h = F.pow(F.sin(dlat / 2), 2) + F.cos(p1) * F.cos(p2) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2) * r * F.asin(F.sqrt(h))
+
+
+def nearest_grid_join(
+    points: DataFrame,
+    grid: DataFrame,
+    res: float,
+    k: int = 1,
+    metric: str = "euclid_deg",
+    point_id: str | None = None,
+    point_lon: str = "lon",
+    point_lat: str = "lat",
+    grid_id: str = "grid_id",
+    grid_lon: str = "lon",
+    grid_lat: str = "lat",
+    max_ring: int = 8,
+    broadcast_grid: bool = True,
+) -> DataFrame:
+    """Assign each point its k nearest grid rows (BallTree replacement,
+    `utils/raster_utils.py:16-30`; soil/weather assignment callers
+    `soil/utils.py:5-12`, `weather/main.py:23-26`).
+
+    Iterative k-ring expansion: probe the (2r+1)^2 cell block around each
+    point's cell at r = 1, 2, 4, ... A candidate set is provably complete when
+    the k-th best distance is below ``r * res`` (any grid point outside the
+    block is at least r*res degrees away in one axis); points that fail the
+    guarantee escalate to the next ring. Ties broken by (distance, grid_id)
+    — deterministic, unlike BallTree's insertion order.
+
+    Output: point columns + ``grid_id``, ``nn_rank`` (1..k), ``nn_dist``
+    (squared degrees for euclid_deg, km for haversine).
+    """
+    dist_fn = _dist2_deg if metric == "euclid_deg" else _haversine_km
+    # guarantee radius in the distance's own units
+    def guard(r: int) -> Column:
+        if metric == "euclid_deg":
+            return F.lit(float(r * res) ** 2)
+        # haversine: one degree of latitude ~ 110.574 km; a conservative lower
+        # bound on the km distance of anything outside the block.
+        return F.lit(r * res * 110.574 * 0.99)
+
+    g = grid.select(
+        F.col(grid_id).alias("__gid"),
+        F.col(grid_lon).alias("__glon"),
+        F.col(grid_lat).alias("__glat"),
+        cells.cell_id(F.col(grid_lon), F.col(grid_lat), res).alias("__cell"),
+    )
+    g = _maybe_broadcast(g, broadcast_grid)
+
+    pending = points.withColumn(
+        "__pcell", cells.cell_id(F.col(point_lon), F.col(point_lat), res)
+    )
+    point_cols = points.columns
+    # window/anti-join key: a unique point id keeps the shuffle key narrow;
+    # falling back to all point columns is correct but wider.
+    key_cols = [point_id] if point_id else point_cols
+    results: list[DataFrame] = []
+    r = 1
+    while True:
+        cand = (
+            pending.withColumn("__cell", F.explode(cells.k_ring(F.col("__pcell"), r)))
+            .join(g, "__cell", "inner")
+            .withColumn(
+                "__d",
+                dist_fn(F.col(point_lon), F.col(point_lat), F.col("__glon"), F.col("__glat")),
+            )
+        )
+        w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+            F.col("__d").asc(), F.col("__gid").asc()
+        )
+        topk = (
+            cand.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+        )
+        final_ring = r >= max_ring
+        if final_ring:
+            done = topk
+        else:
+            # complete iff we found k candidates AND the worst is inside the
+            # guarantee radius
+            w2 = Window.partitionBy(*[F.col(c) for c in key_cols])
+            topk = topk.withColumn("__kmax", F.max("__d").over(w2)).withColumn(
+                "__kcnt", F.count(F.lit(1)).over(w2)
+            )
+            done = topk.filter((F.col("__kcnt") >= k) & (F.col("__kmax") < guard(r))).drop(
+                "__kmax", "__kcnt"
+            )
+        results.append(
+            done.select(
+                *point_cols,
+                F.col("__gid").alias(grid_id),
+                F.col("__rk").alias("nn_rank"),
+                F.col("__d").alias("nn_dist"),
+            )
+        )
+        if final_ring:
+            break
+        pending = pending.join(
+            done.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        )
+        # cheap emptiness probe would force an action per ring; instead rings
+        # grow geometrically so at most log2(max_ring) joins are planned, and
+        # empty pendings produce empty joins at negligible cost.
+        r *= 2
+
+    out = results[0]
+    for df in results[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# zonal statistics + raster<->vector
+# ---------------------------------------------------------------------------
+
+def zonal_stats(
+    raster: DataFrame,
+    polys: DataFrame,
+    value: str,
+    res: float = cells.RES_1KM * 4,
+    stats: tuple[str, ...] = ("mean", "median", "mode", "count"),
+    **pip_kwargs,
+) -> DataFrame:
+    """Polygon -> raster aggregate (`utils/raster_utils.py:53-108`): PIP-join
+    the raster cell centers into polygons, then groupBy(poly_id).agg.
+
+    mean/median/mode/count map to avg / exact median / mode / count — the same
+    trio the reference computes per masked polygon (`:60-72`)."""
+    poly_id = pip_kwargs.get("poly_id", "poly_id")
+    joined = pip_join(raster, polys, res=res, **pip_kwargs)
+    aggs = []
+    if "mean" in stats:
+        aggs.append(F.avg(value).alias(f"{value}_mean"))
+    if "median" in stats:
+        aggs.append(F.median(value).alias(f"{value}_median"))
+    if "mode" in stats:
+        aggs.append(F.mode(value).alias(f"{value}_mode"))
+    if "count" in stats:
+        aggs.append(F.count(value).alias("n_cells"))
+    return joined.groupBy(poly_id).agg(*aggs)
+
+
+def rasterize(
+    polys: DataFrame,
+    res: float,
+    poly_id: str = "poly_id",
+    xs: str = "xs",
+    ys: str = "ys",
+) -> DataFrame:
+    """Vector -> raster: burn polygons onto the lattice, one row per covered
+    cell (analog of `weather/download_daily.py:74-79` geometry_mask and the
+    zone rasterization in `utils/raster_utils.py`). Overlaps resolve to the
+    smallest poly_id (deterministic). Output: (cell_id, lon, lat, zone)."""
+    cand = polys.select(
+        F.col(poly_id).alias("zone"),
+        F.col(xs).alias("__xs"),
+        F.col(ys).alias("__ys"),
+        F.explode(cells.cover_polygon(F.col(xs), F.col(ys), res)).alias("cell_id"),
+    )
+    lon, lat = cells.cell_center(F.col("cell_id"), res)
+    cand = cand.withColumn("lon", lon).withColumn("lat", lat)
+    hit = cand.filter(
+        _pip_udf(F.col("lon"), F.col("lat"), F.col("zone"), F.col("__xs"), F.col("__ys"))
+    )
+    return hit.groupBy("cell_id", "lon", "lat").agg(F.min("zone").alias("zone"))
+
+
+def vectorize(
+    raster: DataFrame,
+    zone: str = "zone",
+    value: str | None = None,
+) -> DataFrame:
+    """Raster -> vector: collapse a cell table back to per-zone rows with
+    extent + aggregate (inverse of rasterize; round-trip tested)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("lon").alias("lon_min"), F.max("lon").alias("lon_max"),
+        F.min("lat").alias("lat_min"), F.max("lat").alias("lat_max"),
+    ]
+    if value is not None:
+        aggs.append(F.avg(value).alias(f"{value}_mean"))
+    return raster.groupBy(zone).agg(*aggs)
