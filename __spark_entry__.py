@@ -1,38 +1,868 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship tile-assignment pipeline (image tiles ->
+cell-indexed PIP join -> per-field counts). ``queries()`` registers one entry
+per implemented operator from SURVEY.md §2; ``oracle_sql()`` carries the
+DuckDB-equivalent SQL. Spatial/weather/soil queries run over dual-engine
+synthetic fixtures (geo_epic_spark.synth emits bit-identical Spark plans and
+DuckDB SQL from shared integer-hash arithmetic), relational/text/vector
+queries run over the driver's parquet tables.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
+from geo_epic_spark import cells, synth
+from geo_epic_spark.functions.select_dsl import select_str
+from geo_epic_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from geo_epic_spark.operators.relational import (
+    depth_bucket_median,
+    dominant_component,
+    soil_projection,
+)
+from geo_epic_spark.operators.similarity import cosine_topk
+from geo_epic_spark.operators.spatial import (
+    nearest_grid_join,
+    pip_join,
+    rasterize,
+    zonal_stats,
+)
+from geo_epic_spark.operators.text import (
+    quality_score,
+    subword_count,
+    token_count,
+)
+from geo_epic_spark.operators.timeseries import (
+    heat_units,
+    interpolate_daily,
+    missing_dates,
+    monthly_normals,
+)
+
+# fixture scales for the oracle-checked queries (kept modest: the driver runs
+# every query AND its DuckDB oracle at sf=0.01)
+N_IMG = 5000
+N_POLY = 300
+GRID_NR, GRID_NC, GRID_SP = 25, 40, 0.125
+ZONAL_NR, ZONAL_NC, ZONAL_SP = 160, 270, 0.01802
+RAST_RES = cells.RES_1KM
+W_CELLS, W_DAYS = 3, 730
+N_MUKEY = 200
+
+_SEASONS = [
+    (1, 0, "2019-04-15", "2019-10-01", 10.0),
+    (2, 1, "2019-05-01", "2019-09-15", 8.0),
+    (3, 2, "2020-04-20", "2020-10-10", 12.0),
+    (4, 0, "2020-05-05", "2020-09-20", 6.0),
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(df: DataFrame, cols: list[str]) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: image tiles -> cell-indexed PIP assignment -> per-field
+    counts, with captions sourced from the sf0.001 documents table (checks
+    caption pass-through alongside the spatial path)."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").select(
+        F.col("doc_id"), F.col("text").alias("caption_src")
+    )
+    n_docs = docs.count()
+    imgs = (
+        synth.images_meta_df(spark, 2000)
+        .withColumn("doc_id", F.col("i") % n_docs)
+        .join(F.broadcast(docs), "doc_id")
+    )
+    flds = synth.fields_df(spark, 150)
+    assigned = pip_join(
+        imgs.select("i", "cx", "cy", "caption_src"),
+        flds.select("poly_id", "xs", "ys"),
+        res=0.05,
+        lon="cx",
+        lat="cy",
+    )
+    return assigned.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.countDistinct("caption_src").alias("n_captions"),
+    )
 
+
+# ---------------------------------------------------------------------------
+# spatial queries (dual-engine synth fixtures)
+# ---------------------------------------------------------------------------
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship tile-assignment join (J5 + A8): which field polygon contains
+    each image tile center, counted per polygon."""
+    imgs = synth.images_meta_df(spark, N_IMG).select("i", "cx", "cy")
+    flds = synth.fields_df(spark, N_POLY).select("poly_id", "xs", "ys")
+    return (
+        pip_join(imgs, flds, res=0.05, lon="cx", lat="cy")
+        .groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
+def _sql_tile_assign() -> str:
+    return f"""
+    WITH imgs AS ({synth.images_meta_sql(N_IMG)}),
+         polys AS ({synth.fields_sql(N_POLY)})
+    SELECT p.poly_id AS poly_id, COUNT(*) AS n_images
+    FROM imgs i JOIN polys p
+      ON i.cx BETWEEN p.x0 AND p.x1 AND i.cy BETWEEN p.y0 AND p.y1
+    GROUP BY 1
+    """
+
+
+def q_nearest_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN assignment join (J1/J2): BallTree find_nearest replacement
+    (`utils/raster_utils.py:16-30`) via k-ring cell expansion."""
+    pts = synth.images_meta_df(spark, 2000).select("i", "cx", "cy")
+    grid = synth.grid_df(spark, GRID_NR, GRID_NC, GRID_SP)
+    out = nearest_grid_join(
+        pts, grid, res=GRID_SP, point_id="i", point_lon="cx", point_lat="cy"
+    )
+    return out.select("i", "grid_id", "nn_dist")
+
+
+def _sql_nearest_grid() -> str:
+    return f"""
+    WITH pts AS ({synth.images_meta_sql(2000)}),
+         grid AS ({synth.grid_sql(GRID_NR, GRID_NC, GRID_SP)}),
+         d AS (
+           SELECT p.i, g.grid_id,
+                  (p.cx - g.lon) * (p.cx - g.lon) + (p.cy - g.lat) * (p.cy - g.lat) AS nn_dist,
+                  row_number() OVER (
+                    PARTITION BY p.i
+                    ORDER BY (p.cx - g.lon) * (p.cx - g.lon) + (p.cy - g.lat) * (p.cy - g.lat),
+                             g.grid_id
+                  ) AS rn
+           FROM pts p CROSS JOIN grid g
+         )
+    SELECT i, grid_id, nn_dist FROM d WHERE rn = 1
+    """
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics join (J3): per-polygon mean/median/count over the
+    mukey raster-as-table (`utils/raster_utils.py:53-108`)."""
+    raster = synth.soil_grid_df(spark, ZONAL_NR, ZONAL_NC, ZONAL_SP)
+    flds = synth.fields_df(spark, N_POLY).select("poly_id", "xs", "ys")
+    out = zonal_stats(raster, flds, value="mukey", res=0.05, stats=("mean", "median", "count"))
+    return _r6(out, ["mukey_mean", "mukey_median"])
+
+
+def _sql_zonal_stats() -> str:
+    return f"""
+    WITH raster AS ({synth.soil_grid_sql(ZONAL_NR, ZONAL_NC, ZONAL_SP)}),
+         polys AS ({synth.fields_sql(N_POLY)})
+    SELECT p.poly_id AS poly_id,
+           round(avg(CAST(r.mukey AS DOUBLE)), 6) AS mukey_mean,
+           round(median(CAST(r.mukey AS DOUBLE)), 6) AS mukey_median,
+           COUNT(r.mukey) AS n_cells
+    FROM raster r JOIN polys p
+      ON r.lon BETWEEN p.x0 AND p.x1 AND r.lat BETWEEN p.y0 AND p.y1
+    GROUP BY 1
+    """
+
+
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector -> raster burn (S10 analog): polygons onto the 1-km lattice,
+    min-zone per cell (`weather/download_daily.py:74-79`)."""
+    flds = synth.fields_df(spark, 60)
+    return rasterize(flds, res=RAST_RES).select("cell_id", "zone")
+
+
+def _sql_rasterize() -> str:
+    res = RAST_RES
+    return f"""
+    WITH polys AS ({synth.fields_sql(60)}),
+         cand AS (
+           SELECT p.poly_id, p.x0, p.x1, p.y0, p.y1, t1.r, t2.c,
+                  (t2.c + 0.5) * {res!r} - 180.0 AS lon,
+                  (t1.r + 0.5) * {res!r} - 90.0 AS lat
+           FROM polys p,
+                LATERAL (SELECT unnest(generate_series(
+                    CAST(floor((p.y0 + 90.0) / {res!r}) AS BIGINT),
+                    CAST(floor((p.y1 + 90.0) / {res!r}) AS BIGINT))) AS r) t1,
+                LATERAL (SELECT unnest(generate_series(
+                    CAST(floor((p.x0 + 180.0) / {res!r}) AS BIGINT),
+                    CAST(floor((p.x1 + 180.0) / {res!r}) AS BIGINT))) AS c) t2
+         )
+    SELECT r * 4294967296 + c AS cell_id, MIN(poly_id) AS zone
+    FROM cand
+    WHERE lon BETWEEN x0 AND x1 AND lat BETWEEN y0 AND y1
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# weather time-series queries
+# ---------------------------------------------------------------------------
+
+def q_monthly_normals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly climate normals (A1 + W1/W2): `DLY.to_monthly`
+    (`io/inputs.py:293-332`) with the 3.5 default-windspeed fill
+    (`weather/main.py:34`)."""
+    daily = synth.weather_daily_df(spark, W_CELLS, W_DAYS).na.fill({"ws": 3.5})
+    out = monthly_normals(daily, by=["cell_id"])
+    num = [c for c in out.columns if c not in ("cell_id", "month")]
+    return _r6(out, num)
+
+
+def _sql_monthly_normals() -> str:
+    dim = "[31,28,31,30,31,30,31,31,30,31,30,31]"
+    return f"""
+    WITH daily AS ({synth.weather_daily_sql(W_CELLS, W_DAYS)}),
+         base AS (
+           SELECT cell_id, date, srad, tmax, tmin, prcp, rh, COALESCE(ws, 3.5) AS ws,
+                  CAST(month(date) AS INTEGER) AS month,
+                  CASE WHEN prcp > 0.5 THEN 1 ELSE 0 END AS wet
+           FROM daily
+         ),
+         lagd AS (
+           SELECT *, LAG(wet) OVER (PARTITION BY cell_id, month ORDER BY date) AS wet_prev
+           FROM base
+         ),
+         agg AS (
+           SELECT cell_id, month,
+                  avg(tmax) AS OBMX, avg(tmin) AS OBMN, avg(srad) AS OBSL,
+                  avg(rh) AS RH, avg(ws) AS UAVO,
+                  avg(prcp) AS prcp_mean,
+                  stddev_samp(tmax) AS SDTMX, stddev_samp(tmin) AS SDTMN,
+                  stddev_samp(prcp) AS RST2,
+                  sum(wet) * 1.0 / count(*) AS DAYP,
+                  sum(CASE WHEN wet_prev = 1 AND wet = 0 THEN 1 ELSE 0 END) * 1.0 / count(*) AS PRW1,
+                  sum(CASE WHEN wet_prev = 1 AND wet = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) AS PRW2
+           FROM lagd GROUP BY 1, 2
+         ),
+         rmo AS (
+           SELECT *, prcp_mean * CAST({dim}[month] AS DOUBLE) AS RMO FROM agg
+         )
+    SELECT cell_id, month,
+           round(OBMX, 6) AS OBMX, round(OBMN, 6) AS OBMN,
+           round(SDTMX, 6) AS SDTMX, round(SDTMN, 6) AS SDTMN,
+           round(RMO, 6) AS RMO, round(RST2, 6) AS RST2,
+           round(3.0 * abs(RMO - median(RMO) OVER (PARTITION BY cell_id)) / RST2, 6) AS RST3,
+           round(PRW1, 6) AS PRW1, round(PRW2, 6) AS PRW2, round(DAYP, 6) AS DAYP,
+           round(0.0, 6) AS WI,
+           round(OBSL, 6) AS OBSL, round(RH, 6) AS RH, round(UAVO, 6) AS UAVO
+    FROM rmo
+    """
+
+
+def _seasons_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _SEASONS,
+        "season_id long, cell_id long, plantation_date string, harvest_date string, tbs double",
+    ).select(
+        "season_id",
+        "cell_id",
+        F.col("plantation_date").cast("date").alias("plantation_date"),
+        F.col("harvest_date").cast("date").alias("harvest_date"),
+        "tbs",
+    )
+
+
+def q_heat_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHU heat-unit accumulation (J9): `OPC.update_phu`
+    (`io/opc.py:222-250`) as a non-equi range join."""
+    daily = synth.weather_daily_df(spark, W_CELLS, W_DAYS)
+    out = heat_units(daily, _seasons_df(spark), by=["cell_id"])
+    return _r6(out.select("season_id", "phu"), ["phu"])
+
+
+def _sql_heat_units() -> str:
+    vals = ", ".join(
+        f"({sid}, {cid}, DATE '{p}', DATE '{h}', CAST({t} AS DOUBLE))"
+        for sid, cid, p, h, t in _SEASONS
+    )
+    return f"""
+    WITH daily AS ({synth.weather_daily_sql(W_CELLS, W_DAYS)}),
+         seasons(season_id, cell_id, plantation_date, harvest_date, tbs)
+           AS (VALUES {vals})
+    SELECT s.season_id AS season_id,
+           round(sum(greatest(0.0, (d.tmax + d.tmin) * 0.5 - s.tbs)), 6) AS phu
+    FROM daily d JOIN seasons s
+      ON d.cell_id = s.cell_id
+     AND d.date > s.plantation_date AND d.date < s.harvest_date
+    GROUP BY 1
+    """
+
+
+def q_missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-coverage validation anti-join (J8): `DLY.validate`
+    (`io/inputs.py:230-256`) missing-day detection."""
+    daily = synth.weather_daily_df(spark, 3, 365).filter(
+        synth.u_col(F.unix_date("date") + F.col("cell_id") * 1000, synth.M[0], 11) >= 0.03
+    )
+    out = missing_dates(daily, ["cell_id"])
+    return out.select("cell_id", F.date_format("date", "yyyy-MM-dd").alias("miss_date"))
+
+
+def _sql_missing_dates() -> str:
+    u = synth.u_sql("(date_diff('day', DATE '1970-01-01', date) + cell_id * 1000)", synth.M[0], 11)
+    return f"""
+    WITH daily AS ({synth.weather_daily_sql(3, 365)}),
+         kept AS (SELECT cell_id, date FROM daily WHERE {u} >= 0.03),
+         spans AS (SELECT cell_id, min(date) AS d0, max(date) AS d1 FROM kept GROUP BY 1),
+         spine AS (
+           SELECT s.cell_id, CAST(t.d AS DATE) AS date
+           FROM spans s, LATERAL (SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS d) t
+         )
+    SELECT sp.cell_id AS cell_id, strftime(sp.date, '%Y-%m-%d') AS miss_date
+    FROM spine sp LEFT JOIN kept k ON sp.cell_id = k.cell_id AND sp.date = k.date
+    WHERE k.date IS NULL
+    """
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily reindex + linear interpolation (W4): `utils/profile.py:30-76`
+    as date-spine explode + window blend."""
+    daily = synth.weather_daily_df(spark, 2, 90).filter(
+        synth.u_col(F.unix_date("date") + F.col("cell_id") * 1000, synth.M[1], 13) >= 0.25
+    ).select("cell_id", "date", "tmax")
+    out = interpolate_daily(daily, "tmax", ["cell_id"])
+    return out.select(
+        "cell_id", F.date_format("date", "yyyy-MM-dd").alias("day"),
+        F.round("tmax_interp", 9).alias("tmax_interp"),
+    )
+
+
+def _sql_interpolate() -> str:
+    u = synth.u_sql("(date_diff('day', DATE '1970-01-01', date) + cell_id * 1000)", synth.M[1], 13)
+    return f"""
+    WITH daily AS ({synth.weather_daily_sql(2, 90)}),
+         kept AS (SELECT cell_id, date, tmax FROM daily WHERE {u} >= 0.25),
+         spans AS (SELECT cell_id, min(date) AS d0, max(date) AS d1 FROM kept GROUP BY 1),
+         spine AS (
+           SELECT s.cell_id, CAST(t.d AS DATE) AS date
+           FROM spans s, LATERAL (SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS d) t
+         ),
+         filled AS (
+           SELECT sp.cell_id, sp.date, k.tmax FROM spine sp
+           LEFT JOIN kept k ON sp.cell_id = k.cell_id AND sp.date = k.date
+         ),
+         w AS (
+           SELECT cell_id, date, tmax,
+             last_value(tmax IGNORE NULLS) OVER
+               (PARTITION BY cell_id ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN tmax IS NOT NULL THEN date END IGNORE NULLS) OVER
+               (PARTITION BY cell_id ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(tmax IGNORE NULLS) OVER
+               (PARTITION BY cell_id ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN tmax IS NOT NULL THEN date END IGNORE NULLS) OVER
+               (PARTITION BY cell_id ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+           FROM filled
+         )
+    SELECT cell_id, strftime(date, '%Y-%m-%d') AS day,
+           round(CASE
+             WHEN tmax IS NOT NULL THEN tmax
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, date) AS DOUBLE)
+                                    / CAST(date_diff('day', pd, nd) AS DOUBLE))
+           END, 9) AS tmax_interp
+    FROM w
+    """
+
+
+# ---------------------------------------------------------------------------
+# relational soil queries
+# ---------------------------------------------------------------------------
+
+def q_dominant_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-component argmax (A2): `soil/ssurgo_gdb.py:57`."""
+    comps = synth.soil_components_df(spark, N_MUKEY)
+    return dominant_component(comps).select("mukey", "cokey", "compname", "comppct_r")
+
+
+def _sql_dominant_component() -> str:
+    return f"""
+    WITH comps AS ({synth.soil_components_sql(N_MUKEY)}),
+         r AS (SELECT *, row_number() OVER (PARTITION BY mukey ORDER BY comppct_r DESC, cokey) AS rn
+               FROM comps)
+    SELECT mukey, cokey, compname, comppct_r FROM r WHERE rn = 1
+    """
+
+
+def q_depth_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bucket grouped median (A3): `soil/sda.py:195-199`."""
+    comps = synth.soil_components_df(spark, N_MUKEY).select("cokey", "mukey")
+    layers = synth.soil_layers_df(spark, N_MUKEY * 3).filter("wthirdbar_r > 0")
+    out = depth_bucket_median(layers.join(comps, "cokey"), ["om_r", "ksat_r"])
+    return _r6(out, ["om_r_med", "ksat_r_med"])
+
+
+def _sql_depth_median() -> str:
+    return f"""
+    WITH comps AS ({synth.soil_components_sql(N_MUKEY)}),
+         layers AS ({synth.soil_layers_sql(N_MUKEY * 3)})
+    SELECT c.mukey AS mukey, round(l.hzdepb_r, 1) AS depth_bucket,
+           round(median(l.om_r), 6) AS om_r_med,
+           round(median(l.ksat_r), 6) AS ksat_r_med
+    FROM layers l JOIN comps c ON l.cokey = c.cokey
+    WHERE l.wthirdbar_r > 0
+    GROUP BY 1, 2
+    """
+
+
+def q_soil_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-scaling projection (P1): `soil/sda.py:171-192` canonical soil
+    schema with hydgrp letter -> code map."""
+    comps = synth.soil_components_df(spark, N_MUKEY)
+    layers = synth.soil_layers_df(spark, N_MUKEY * 3)
+    j = layers.join(comps.select("cokey", "mukey", "hydgrp", "albedodry_r"), "cokey")
+    return soil_projection(j).select(
+        "mukey", "cokey", "depth_m", "om_pct", "ksat_mm_hr", "albedo_wet",
+        "claytotal_r", "hydgrp_code",
+    )
+
+
+def _sql_soil_projection() -> str:
+    return f"""
+    WITH comps AS ({synth.soil_components_sql(N_MUKEY)}),
+         layers AS ({synth.soil_layers_sql(N_MUKEY * 3)})
+    SELECT c.mukey AS mukey, l.cokey AS cokey,
+           l.hzdepb_r * 0.01 AS depth_m,
+           l.om_r * 0.58 AS om_pct,
+           l.ksat_r * 3.6 AS ksat_mm_hr,
+           c.albedodry_r * 0.625 AS albedo_wet,
+           100.0 - l.sandtotal_r - l.silttotal_r AS claytotal_r,
+           CASE c.hydgrp WHEN 'A' THEN 1 WHEN 'B' THEN 2 WHEN 'C' THEN 3
+                         WHEN 'D' THEN 4 ELSE 3 END AS hydgrp_code
+    FROM layers l JOIN comps c ON l.cokey = c.cokey
+    """
+
+
+def q_select_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection mini-DSL (P5): `utils/misc.py:44-93` — predicate then
+    fractional Range slice over the ordered frame."""
+    flds = synth.fields_df(spark, 1000).select("SiteID", "CNTYFIPS")
+    return select_str(flds, "CNTYFIPS == '19003'; Range(0.0, 0.05)", order_by="SiteID")
+
+
+def _sql_select_range() -> str:
+    # Range bounds use the UNFILTERED length (reference quirk, misc.py:64):
+    # ceil(0.05 * 1000) = 50 positions of the filtered, SiteID-ordered frame.
+    return f"""
+    WITH flds AS ({synth.fields_sql(1000)}),
+         f AS (SELECT SiteID, CNTYFIPS, row_number() OVER (ORDER BY SiteID) AS rn
+               FROM flds WHERE CNTYFIPS = '19003')
+    SELECT SiteID, CNTYFIPS FROM f WHERE rn <= 50
+    """
+
+
+# ---------------------------------------------------------------------------
+# driver-table relational queries (J4/J8/J10, A4, W3, set ops)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate (A1 relational analog, TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return _r6(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc"])
+
+
+def _sql_pricing_summary() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem GROUP BY 1, 2
+    """
+
+
+def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise argmax (A2 relational): highest-value order per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def _sql_top_order_per_customer() -> str:
+    return """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn = 1
+    """
+
+
+def q_next_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of pairing (J10): each order with its customer's next order date
+    (`io/opc.py:276-290` plantation -> first later harvest shape)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("next_order_day"),
+    )
+
+
+def _sql_next_order_asof() -> str:
+    return """
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                    '%Y-%m-%d') AS next_order_day
+    FROM orders
+    """
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J8/P3): the resume/missing-detection primitive."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _sql_customers_without_orders() -> str:
+    return """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + last-wins dedup (set ops): select-DSL '+' semantics
+    (`utils/misc.py:88-90`) over the customer table."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    return select_str(
+        c, "c_mktsegment == 'BUILDING' + c_acctbal > 5000",
+        order_by="c_custkey", dedup_key="c_custkey",
+    )
+
+
+def _sql_union_dedup() -> str:
+    # both branches emit the same physical row per key, so last-wins dedup
+    # reduces to set-union of the predicates
+    return """
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+    WHERE c_mktsegment = 'BUILDING' OR c_acctbal > 5000
+    """
+
+
+def q_percentile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile envelope (A4): per-month 10th/90th pct + mean of event
+    values (`utils/profile.py:203-226`)."""
+    e = _t(spark, sf_dir, "events")
+    out = e.groupBy(F.month("ts").alias("month")).agg(
+        F.percentile("value", 0.1).alias("p10"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.avg("value").alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return _r6(out, ["p10", "p90", "mean_v"])
+
+
+def _sql_percentile_envelope() -> str:
+    return """
+    SELECT CAST(month(ts) AS INTEGER) AS month,
+           round(quantile_cont(value, 0.1), 6) AS p10,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(avg(value), 6) AS mean_v,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """
+
+
+def q_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered rolling median (W3): `utils/profile.py:40-51` as a
+    rows-between window over per-user event series."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    med = (
+        F.element_at(arr, ((n + 1) / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    return e.select("event_id", F.round(med, 6).alias("rmed"))
+
+
+def _sql_rolling_median_events() -> str:
+    return """
+    SELECT event_id,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS rmed
+    FROM events
+    """
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings: dedup, text analysis, similarity search
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy): keep lowest doc_id per distinct text."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id")
+
+
+def _sql_exact_dedup_docs() -> str:
+    return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, exact (shingle equi-join plan)."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.125, n=3).select(
+        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+def _sql_ngram_jaccard() -> str:
+    return """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct([
+        array_to_string(words[i:i+2], ' ')
+        FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+      ])) AS shingle
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b,
+           round(s.inter * 1.0 / (sa.sz + sb.sz - s.inter), 9) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.doc_id
+    JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE s.inter * 1.0 / (sa.sz + sb.sz - s.inter) >= 0.125
+    """
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token count, BPE-ish subword estimate, quality score."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        subword_count(t).alias("n_subwords"),
+        F.round(quality_score(t), 6).alias("quality"),
+    )
+
+
+def _sql_token_stats() -> str:
+    return """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                w -> CAST(ceil(length(w) / 4.0) AS INTEGER))) AS INTEGER) AS n_subwords,
+           round((
+             CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0
+                  WHEN length(text) < 50 THEN length(text) / 50.0
+                  ELSE greatest(0.0, 1.0 - (length(text) - 5000) / 5000.0) END
+             + length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0
+               / greatest(length(text), 1)
+             + CASE WHEN length(text) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+                         BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END
+           ) / 3.0, 6) AS quality
+    FROM documents
+    """
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline over the embeddings table."""
+    v = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = v.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = cosine_topk(v, q, k=5)
+    return out.select("q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+def _sql_cosine_topk() -> str:
+    return """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e WHERE vec_id < 5),
+         d AS (
+           SELECT q.q_id, v.vec_id,
+                  list_dot_product(v.embedding, q.q_vec)
+                    / (sqrt(list_dot_product(v.embedding, v.embedding))
+                       * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS cos,
+                  row_number() OVER (
+                    PARTITION BY q.q_id
+                    ORDER BY list_dot_product(v.embedding, q.q_vec)
+                               / (sqrt(list_dot_product(v.embedding, v.embedding))
+                                  * sqrt(list_dot_product(q.q_vec, q.q_vec))) DESC,
+                             v.vec_id
+                  ) AS rank
+           FROM e v CROSS JOIN q
+         )
+    SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cosine
+    FROM d WHERE rank <= 5
+    """
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only driver check; invariants in pytest)
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified (banded signatures —
+    not ANSI-SQL-expressible; recall/precision invariants in pytest)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.125, num_hashes=64, bands=32)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit block bucketing + popcount verify."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_dup_pairs(d, max_hamming=8)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs over embeddings, cosine-verified."""
+    v = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(v, threshold=0.9, planes=8)
+
+
+def q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image payload pipeline (axes A+B): distributed generate -> decode ->
+    PSNR/phash/caption invariants; returns per-format violation counts
+    (all-zero row per format = pass)."""
+    from geo_epic_spark.images.udfs import decode_stats, full_images_df, psnr_vs_regen
+
+    df = full_images_df(spark, 500)
+    checked = df.select(
+        "i", "w", "h", "fmt", "phash",
+        decode_stats("bytes", "fmt").alias("s"),
+        psnr_vs_regen("bytes", "fmt", "i").alias("p"),
+    )
+    return checked.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("s.dec_w") != F.col("w")).cast("int")).alias("bad_shape"),
+        F.sum((F.col("s.phash_rt") != F.col("phash")).cast("int")).alias("bad_phash"),
+        F.sum((F.col("p") < 40.0).cast("int")).alias("bad_psnr"),
+    )
+
+
+def q_knn_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 nearest-grid join (J1 with k>1; per-rank distance ordering is
+    asserted in pytest)."""
+    pts = synth.images_meta_df(spark, 500).select("i", "cx", "cy")
+    grid = synth.grid_df(spark, GRID_NR, GRID_NC, GRID_SP)
+    return nearest_grid_join(
+        pts, grid, res=GRID_SP, k=3, point_id="i", point_lon="cx", point_lat="cy"
+    ).select("i", "grid_id", "nn_rank")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # spatial flagship path
+        "q_tile_assign": q_tile_assign,
+        "q_nearest_grid": q_nearest_grid,
+        "q_zonal_stats": q_zonal_stats,
+        "q_rasterize": q_rasterize,
+        "q_knn_k3": q_knn_k3,
+        # weather time-series
+        "q_monthly_normals": q_monthly_normals,
+        "q_heat_units": q_heat_units,
+        "q_missing_dates": q_missing_dates,
+        "q_interpolate": q_interpolate,
+        # relational soil pipeline
+        "q_dominant_component": q_dominant_component,
+        "q_depth_median": q_depth_median,
+        "q_soil_projection": q_soil_projection,
+        "q_select_range": q_select_range,
+        # driver-table relational
+        "q_pricing_summary": q_pricing_summary,
+        "q_top_order_per_customer": q_top_order_per_customer,
+        "q_next_order_asof": q_next_order_asof,
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_union_dedup": q_union_dedup,
+        "q_percentile_envelope": q_percentile_envelope,
+        "q_rolling_median_events": q_rolling_median_events,
+        # documents / embeddings
+        "q_exact_dedup_docs": q_exact_dedup_docs,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_token_stats": q_token_stats,
+        "q_cosine_topk": q_cosine_topk,
+        # rows-only (non-SQL-expressible)
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_image_invariants": q_image_invariants,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_tile_assign": _sql_tile_assign(),
+        "q_nearest_grid": _sql_nearest_grid(),
+        "q_zonal_stats": _sql_zonal_stats(),
+        "q_rasterize": _sql_rasterize(),
+        "q_monthly_normals": _sql_monthly_normals(),
+        "q_heat_units": _sql_heat_units(),
+        "q_missing_dates": _sql_missing_dates(),
+        "q_interpolate": _sql_interpolate(),
+        "q_dominant_component": _sql_dominant_component(),
+        "q_depth_median": _sql_depth_median(),
+        "q_soil_projection": _sql_soil_projection(),
+        "q_select_range": _sql_select_range(),
+        "q_pricing_summary": _sql_pricing_summary(),
+        "q_top_order_per_customer": _sql_top_order_per_customer(),
+        "q_next_order_asof": _sql_next_order_asof(),
+        "q_customers_without_orders": _sql_customers_without_orders(),
+        "q_union_dedup": _sql_union_dedup(),
+        "q_percentile_envelope": _sql_percentile_envelope(),
+        "q_rolling_median_events": _sql_rolling_median_events(),
+        "q_exact_dedup_docs": _sql_exact_dedup_docs(),
+        "q_ngram_jaccard": _sql_ngram_jaccard(),
+        "q_token_stats": _sql_token_stats(),
+        "q_cosine_topk": _sql_cosine_topk(),
+    }

@@ -1,0 +1,143 @@
+"""Headline benchmark: spatial-join + tile-assignment throughput.
+
+Runs the flagship queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "rows_per_sec": {...}}
+
+The north-rule metric (tile-assignment rows/s + N vs 4N scaling efficiency)
+is reported by scripts/scaling.py into BASELINE.md; this file is the per-round
+driver entry point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from geo_epic_spark import synth  # noqa: E402
+from geo_epic_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from geo_epic_spark.operators.similarity import cosine_topk  # noqa: E402
+from geo_epic_spark.operators.spatial import (  # noqa: E402
+    nearest_grid_join,
+    pip_join,
+    zonal_stats,
+)
+from geo_epic_spark.session import get_spark  # noqa: E402
+
+# bench fixture scales (spatial rows are synthesized — the engine's input
+# table per BASELINE.json; relational/text queries use the driver's sf dir)
+N_IMG = int(os.environ.get("BENCH_N_IMG", "200000"))
+N_POLY = 2000
+GRID = (200, 320, 0.015625)
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
+    imgs = synth.images_meta_df(spark, N_IMG).select("i", "cx", "cy")
+    flds = synth.fields_df(spark, N_POLY).select("poly_id", "xs", "ys")
+    grid = synth.grid_df(spark, *GRID)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    defs = {
+        # the north-rule metric path: PIP tile assignment over N_IMG tiles
+        "tile_assign": (
+            lambda: _count(pip_join(imgs, flds, res=0.05, lon="cx", lat="cy")),
+            N_IMG,
+        ),
+        "nearest_grid": (
+            lambda: _count(
+                nearest_grid_join(
+                    imgs, grid, res=GRID[2], point_id="i", point_lon="cx", point_lat="cy"
+                )
+            ),
+            N_IMG,
+        ),
+        "zonal_stats": (
+            lambda: _count(
+                zonal_stats(
+                    synth.soil_grid_df(spark, 300, 500, 0.00901),
+                    flds,
+                    value="mukey",
+                    res=0.05,
+                    stats=("mean", "median", "count"),
+                )
+            ),
+            300 * 500,
+        ),
+        "pricing_summary": (
+            lambda: _count(
+                li.groupBy("l_returnflag", "l_linestatus").agg(
+                    F.sum("l_quantity"), F.avg("l_discount"), F.count(F.lit(1))
+                )
+            ),
+            None,
+        ),
+        "minhash_lsh": (
+            lambda: _count(minhash_lsh_pairs(docs, threshold=0.125, num_hashes=64, bands=32)),
+            None,
+        ),
+        "cosine_topk": (
+            lambda: _count(
+                cosine_topk(
+                    emb,
+                    emb.filter("vec_id < 20").select(
+                        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+                    ),
+                    k=10,
+                )
+            ),
+            None,
+        ),
+    }
+    out = {}
+    for name, (fn, rows) in defs.items():
+        t0 = time.time()
+        n = fn()
+        dt = time.time() - t0
+        out[name] = {"sec": round(dt, 3), "result_rows": n}
+        if rows:
+            out[name]["rows_per_sec"] = round(rows / dt)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(cpus, "geo-epic-bench")
+    # warm the JVM/UDF path once so timings measure the engine, not startup
+    _count(synth.images_meta_df(spark, 1000))
+    res = bench_queries(spark, sf_dir)
+    total = round(sum(v["sec"] for v in res.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (flagship: tile_assign rows/s)",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: v["sec"] for k, v in res.items()},
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "n_images": N_IMG,
+                "rows_per_sec": {
+                    k: v["rows_per_sec"] for k, v in res.items() if "rows_per_sec" in v
+                },
+                "result_rows": {k: v["result_rows"] for k, v in res.items()},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,280 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup —
+each expressed so the heavy stages are shuffles on small keys (band hashes,
+signature buckets), never all-pairs. Runs over the driver ``documents`` /
+``embeddings`` tables.
+
+Scale notes: every method below reduces candidate generation to an equi-join
+on a bucket key (band hash / simhash block / LSH bucket), so the all-pairs
+O(n^2) comparison only happens within buckets. At 10^12 rows the bucket join
+shuffles each row a constant number of times (bands), and AQE splits skewed
+buckets (boilerplate text clusters are the dense-cell analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: universal-hash modulus for minhash permutations.
+# 31-bit so a*h + b stays inside signed int64 (ANSI mode would reject overflow).
+_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact duplicate removal by content hash: keep the lowest key per
+    distinct text. Hash-groupBy — one shuffle on a 64-bit key, not the text."""
+    w = Window.partitionBy(F.xxhash64(F.col(text)), F.col(text)).orderBy(key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingle set per doc: (key cols..., shingle string).
+    Built-ins only: split -> slide -> explode -> distinct."""
+    words = F.split(F.col(text), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return df.withColumn("shingle", F.explode(F.array_distinct(grams)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (a, b, jaccard) with
+    jaccard >= threshold, a < b.
+
+    Plan: shingle-explode -> self-equi-join on shingle -> count shared ->
+    |A ∪ B| = |A| + |B| - shared. The join key is the shingle, so only docs
+    sharing at least one shingle ever meet — no cross join.
+    """
+    sh = shingles(df.select(key, text), text, n).select(key, "shingle")
+    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .groupBy(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed(key, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(key, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _shingle_hash() -> F.Column:
+    """Portable 61-bit shingle hash (xxhash64 folded into [0, P))."""
+    return F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P))
+
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 64, text: str = "text", key: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: sig[j] = min over shingles of
+    (a_j * h + b_j) mod P. One groupBy over the exploded shingles computes all
+    permutations at once (array_agg-free: min of transform)."""
+    rng_a = [((2 * j + 1) * 0x9E3779B97F4A7C15) % _P or 1 for j in range(num_hashes)]
+    rng_b = [(j * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _P for j in range(num_hashes)]
+    sh = shingles(df.select(key, text), text, n).withColumn("__h", _shingle_hash())
+    # per (doc, j): min((a_j*h + b_j) mod P)  — computed as num_hashes agg cols
+    aggs = [
+        F.min(
+            F.pmod(F.col("__h") * F.lit(rng_a[j]) + F.lit(rng_b[j]), F.lit(_P))
+        ).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    sig = sh.groupBy(key).agg(*aggs)
+    return sig.select(key, F.array(*[f"mh{j}" for j in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, exact-verified.
+
+    Candidate pairs collide in >=1 of ``bands`` bands (rows = num_hashes /
+    bands); candidates are then verified with exact n-gram Jaccard so the
+    output is exactly {pairs with J >= threshold AND >=1 band collision} —
+    at (64, 16) the miss probability for J >= 0.5 pairs is ~(1-0.5^4)^16 ≈ 34%
+    per textbook S-curve; raise bands for higher recall.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, text, key, n)
+    banded = sig.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[F.col("signature")[bi * rows + r].cast("string") for r in range(rows)],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(key, "bh.band", "bh.bhash")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, threshold=threshold, text=text, key=key, n=n)
+    return cand.join(exact, on=["id_a", "id_b"], how="inner")
+
+
+def simhash(df: DataFrame, text: str = "text", key: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word features: sign of per-bit weighted sums.
+    Built-ins only: explode words -> per-bit +/-1 from the word hash ->
+    groupBy doc -> reassemble bits."""
+    words = df.select(key, F.explode(F.split(F.col(text), r"\s+")).alias("w"))
+    words = words.withColumn("__h", F.xxhash64("w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_doc = words.groupBy(key).agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for b in range(bits - 1):  # keep within signed 64-bit: use 63 bits
+        acc = acc + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return per_doc.select(key, acc.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
+    4-block bucketing (pigeonhole: any pair within distance 3 agrees on >= 1
+    of 4 16-bit blocks) -> equi-join per block -> popcount verify."""
+    sh = simhash(df, text, key)
+    blocks = sh.select(
+        key,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bval"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(key, "simhash", "b.blk", "b.bval")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(
+            F.col(f"a.{key}").alias("id_a"),
+            F.col(f"b.{key}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    planes: int = 12,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: random-hyperplane LSH bucket join,
+    exact cosine verify. Hyperplane normals are deterministic hash-derived
+    pseudo-gaussians (sum of 4 uniforms), so no RNG state ships with the plan.
+    """
+    dim_df = df.select(F.size(vec).alias("d")).limit(1).collect()
+    dim = dim_df[0]["d"]
+    # deterministic pseudo-gaussian planes
+    import numpy as np
+
+    def urand(j, k):
+        x = (j * 2654435761 + k * 40503 + 9176) % 4294967296
+        return x / 4294967296.0 - 0.5
+
+    normals = [
+        [sum(urand(j, 4 * k + t) for t in range(4)) for k in range(dim)] for j in range(planes)
+    ]
+    sig = F.concat(
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec),
+                        F.array(*[F.lit(float(v)) for v in normals[j]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for j in range(planes)
+        ]
+    )
+    b = df.select(key, vec).withColumn("bucket", sig)
+    l, r = b.alias("l"), b.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+    ).select(
+        F.col(f"l.{key}").alias("id_a"),
+        F.col(f"r.{key}").alias("id_b"),
+        F.col(f"l.{vec}").alias("va"),
+        F.col(f"r.{vec}").alias("vb"),
+    )
+    dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda a: a * a), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda a: a * a), F.lit(0.0), lambda s, x: s + x))
+    return (
+        cand.withColumn("cosine", dot / (na * nb))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

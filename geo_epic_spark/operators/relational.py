@@ -1,0 +1,69 @@
+"""Relational soil-pipeline operators (`geoEpic/soil/sda.py`, `soil/ssurgo_gdb.py`).
+
+Pure built-in expressions: window argmax, grouped median, unit-scaling
+projection, resume semi/anti filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geo_epic_spark.functions.scalars import hydgrp_code
+
+
+def dominant_component(components: DataFrame) -> DataFrame:
+    """Dominant soil component per mukey: the comppct_r argmax
+    (`soil/ssurgo_gdb.py:57` transform('max') == comppct_r). Ties broken by
+    lowest cokey (deterministic; pandas kept all ties — at scale a single
+    winner is the useful semantic and fixtures are tie-free)."""
+    w = Window.partitionBy("mukey").orderBy(F.desc("comppct_r"), F.asc("cokey"))
+    return (
+        components.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def soil_projection(layers_joined: DataFrame) -> DataFrame:
+    """Canonical unit-scaled projection (`soil/sda.py:171-192`): depth cm->m,
+    om walkley-black *0.58, ksat um/s->mm/hr *3.6, dry->wet albedo *0.625,
+    clay = 100 - sand - silt, hydgrp letter -> 1..4 code."""
+    return layers_joined.select(
+        "mukey",
+        "cokey",
+        (F.col("hzdepb_r") * 0.01).alias("depth_m"),
+        (F.col("om_r") * 0.58).alias("om_pct"),
+        (F.col("ksat_r") * 3.6).alias("ksat_mm_hr"),
+        (F.col("albedodry_r") * 0.625).alias("albedo_wet"),
+        (F.lit(100.0) - F.col("sandtotal_r") - F.col("silttotal_r")).alias("claytotal_r"),
+        hydgrp_code(F.col("hydgrp")).alias("hydgrp_code"),
+        "wthirdbar_r",
+        "sandtotal_r",
+        "silttotal_r",
+        "ph1to1h2o_r",
+        "dbthirdbar_r",
+    )
+
+
+def depth_bucket_median(
+    layers: DataFrame,
+    value_cols: list[str],
+    key: str = "mukey",
+    depth: str = "hzdepb_r",
+) -> DataFrame:
+    """Collapse duplicate layers: round depth to 0.1 then per-(key, depth)
+    median of properties (`soil/sda.py:195-199`)."""
+    d = layers.withColumn("__depth_b", F.round(F.col(depth), 1))
+    return d.groupBy(key, "__depth_b").agg(
+        *[F.median(c).alias(f"{c}_med") for c in value_cols]
+    ).withColumnRenamed("__depth_b", "depth_bucket")
+
+
+def resume_filter(work: DataFrame, done: DataFrame, key: str | list[str]) -> DataFrame:
+    """Skip-existing resume: drop work rows whose key already appears in the
+    done-manifest (`sites/generate.py:97-98`, `soil/ssurgo_gdb.py:129-130`,
+    `core/workspace.py:331-336`) — a left_anti join, the distributed version
+    of the reference's isin-on-listdir."""
+    keys = [key] if isinstance(key, str) else key
+    return work.join(done.select(*keys).distinct(), on=keys, how="left_anti")

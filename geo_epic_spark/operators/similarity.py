@@ -1,0 +1,138 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k as a broadcast join + window rank — exact,
+one shuffle of the (small) query side. Scale path: IVF-style coarse
+quantization — embeddings are bucketed to their nearest of C centroids once
+(write-time partitioning at 100 TB), queries probe ``nprobe`` nearest
+centroid buckets only, cutting the scanned fraction to ~nprobe/C.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    q_key: str = "q_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the query set over the vector
+    table, rank per query. All arithmetic in `F.zip_with`/`F.aggregate` —
+    JVM-side, no Python."""
+    q = F.broadcast(queries.select(F.col(q_key), F.col(q_vec)))
+    joined = vectors.select(key, vec).crossJoin(q)
+    cos = _dot(F.col(vec), F.col(q_vec)) / (_norm(F.col(vec)) * _norm(F.col(q_vec)))
+    w = Window.partitionBy(q_key).orderBy(F.desc("cosine"), F.asc(key))
+    return (
+        joined.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_key, key, "rank", "cosine")
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame, c: int = 16, vec: str = "embedding", iters: int = 3
+) -> list[list[float]]:
+    """Tiny driver-side Lloyd iteration on a sample to seed IVF coarse
+    centroids (the index build step; at scale run once and persist)."""
+    sample = np.array(
+        vectors.select(vec).limit(4096).toPandas()[vec].tolist(), dtype=np.float64
+    )
+    rng = np.random.Generator(np.random.PCG64(7))
+    cents = sample[rng.choice(len(sample), size=min(c, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cents)):
+            m = assign == j
+            if m.any():
+                cents[j] = sample[m].mean(0)
+    return [list(map(float, row)) for row in cents]
+
+
+def _centroid_array(cents: list[list[float]]) -> F.Column:
+    return F.array(*[F.array(*[F.lit(v) for v in row]) for row in cents])
+
+
+def ivf_assign(vectors: DataFrame, cents: list[list[float]], vec: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid id (the IVF list id). At
+    100 TB this is the write-time partition column."""
+    carr = _centroid_array(cents)
+    d2 = F.transform(
+        carr,
+        lambda cvec: F.aggregate(
+            F.zip_with(F.col(vec), cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    return vectors.withColumn("ivf_list", F.array_position(d2, F.array_min(d2)) - 1)
+
+
+def ivf_topk(
+    vectors_assigned: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    q_key: str = "q_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """IVF ANN: probe only the nprobe nearest centroid lists per query.
+    Candidate scan fraction ~= nprobe / len(cents); exact cosine rank within
+    the probed lists."""
+    carr = _centroid_array(cents)
+    qd2 = F.transform(
+        carr,
+        lambda cvec: F.aggregate(
+            F.zip_with(F.col(q_vec), cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    q = queries.withColumn("__d2", qd2).withColumn(
+        "ivf_list",
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.zip_with(
+                            F.col("__d2"),
+                            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                1,
+                nprobe,
+            )
+        ),
+    ).drop("__d2")
+    joined = vectors_assigned.join(F.broadcast(q), on="ivf_list")
+    cos = _dot(F.col(vec), F.col(q_vec)) / (_norm(F.col(vec)) * _norm(F.col(q_vec)))
+    w = Window.partitionBy(q_key).orderBy(F.desc("cosine"), F.asc(key))
+    return (
+        joined.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_key, key, "rank", "cosine")
+    )

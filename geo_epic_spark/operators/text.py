@@ -1,0 +1,90 @@
+"""Text-analysis operators for training-data pipelines — built-ins only.
+
+Language-ID (stopword-hit heuristic), quality scoring (length/punctuation/
+stopword ratios), token counting (whitespace + BPE-ish subword estimate),
+rolling-hash document fingerprinting. Every expression is a Column — the hot
+path never leaves the JVM, and each is SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists (heuristic language ID; deliberately small
+# and deterministic — a real pipeline swaps in fastText, same plumbing)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pour", "dans"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish token estimate: word-piece splits on 4-char boundaries —
+    ceil(len(word)/4) summed, a deterministic stand-in for a real tokenizer."""
+    words = F.split(F.trim(text), r"\s+")
+    return F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int")
+    )
+
+
+def _lang_hits(text: Column, lang: str) -> Column:
+    words = F.split(F.lower(text), r"\s+")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.array_intersect(words, sw))
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language whose stopword list hits most distinct words;
+    'und' (undetermined) when nothing hits."""
+    langs = list(STOPWORDS)
+    hits = F.array(
+        *[F.struct(_lang_hits(text, lg).alias("h"), F.lit(lg).alias("lg")) for lg in langs]
+    )
+    best = F.array_max(hits)
+    return F.when(best["h"] > 0, best["lg"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Quality heuristic in [0,1]: mean of three sub-scores — length band
+    (50..5000 chars), alpha ratio (letters+spaces / chars), mean word length
+    band (3..12)."""
+    n = F.length(text).cast("double")
+    len_score = F.when((n >= 50) & (n <= 5000), 1.0).when(n < 50, n / 50.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (n - 5000) / 5000.0)
+    )
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z ]", "")).cast("double") / F.greatest(
+        n, F.lit(1.0)
+    )
+    words = F.split(F.trim(text), r"\s+")
+    mwl = n / F.greatest(F.size(words).cast("double"), F.lit(1.0))
+    mwl_score = F.when((mwl >= 3) & (mwl <= 12), 1.0).otherwise(0.5)
+    return (len_score + alpha + mwl_score) / F.lit(3.0)
+
+
+def fingerprint64(text: Column) -> Column:
+    """Deterministic 64-bit content fingerprint (xxhash64 of normalized
+    text: lowercased, whitespace collapsed) — the identity key for
+    skip-existing/dedup manifests."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(norm)
+
+
+def text_features(df: DataFrame, text: str = "text") -> DataFrame:
+    t = F.col(text)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_subwords": subword_count(t),
+            "lang_pred": lang_id(t),
+            "quality": quality_score(t),
+            "fingerprint": fingerprint64(t),
+        }
+    )

@@ -1,0 +1,213 @@
+"""Grouped time-series operators — DLY/OPC analytics re-expressed in Spark.
+
+Faithful ports of the reference *semantics* (not its pandas mechanics):
+monthly climate normals (`geoEpic/io/inputs.py:293-332`), heat-unit
+accumulation over growing seasons (`geoEpic/io/opc.py:222-250`), as-of
+plantation→harvest pairing (`io/opc.py:276-290`), rolling-median outlier
+frames and envelope clipping (`geoEpic/utils/profile.py:40-51`, `:430-440`),
+date-range validation anti-join (`io/inputs.py:230-256`).
+
+Everything is built-in expressions + windows — no Python in the plan — so the
+partial aggregation, WSCG, and shuffle placement all come from Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DAYS_IN_MONTH = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+
+
+def monthly_normals(daily: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """`DLY.to_monthly` (`io/inputs.py:293-332`) as one Spark plan.
+
+    Per (group, month): means of all climate columns; prcp scaled by
+    days-in-month; std of tmax/tmin/prcp; DAYP wet-day fraction (prcp > 0.5);
+    PRW1 dry-after-wet and PRW2 wet-after-wet transition fractions computed
+    with a lag over date order *within the month group across years* (exactly
+    the reference's np.diff over the date-sorted month group); RST3 rainfall
+    skew 3*|RMO - median(RMO)|/RST2 where the median is across the group's 12
+    monthly values.
+
+    ``by``: extra partition columns (e.g. site/cell id) — the reference is
+    per-site by construction; here one plan covers every site.
+    """
+    by = by or []
+    month = F.month("date").alias("month")
+    wet = (F.col("prcp") > 0.5).cast("int")
+    w_lag = Window.partitionBy(*by, F.month("date")).orderBy("date")
+    d = (
+        daily.withColumn("month", month)
+        .withColumn("__wet", wet)
+        .withColumn("__wet_prev", F.lag("__wet").over(w_lag))
+    )
+    dim = F.element_at(
+        F.array(*[F.lit(x) for x in DAYS_IN_MONTH]), F.col("month")
+    ).cast("double")
+    agg = d.groupBy(*by, "month").agg(
+        F.avg("tmax").alias("OBMX"),
+        F.avg("tmin").alias("OBMN"),
+        F.avg("srad").alias("OBSL"),
+        F.avg("rh").alias("RH"),
+        F.avg("ws").alias("UAVO"),
+        (F.avg("prcp")).alias("__prcp_mean"),
+        F.stddev("tmax").alias("SDTMX"),
+        F.stddev("tmin").alias("SDTMN"),
+        F.stddev("prcp").alias("RST2"),
+        (F.sum(F.col("__wet")) / F.count(F.lit(1))).alias("DAYP"),
+        # np.diff(wet) == -1  <=>  prev==1 and cur==0 counted over diffs;
+        # reference divides by group length (not diffs length)
+        (
+            F.sum(((F.col("__wet_prev") == 1) & (F.col("__wet") == 0)).cast("int"))
+            / F.count(F.lit(1))
+        ).alias("PRW1"),
+        # wet.shift(fill_value=False) & wet
+        (
+            F.sum(((F.col("__wet_prev") == 1) & (F.col("__wet") == 1)).cast("int"))
+            / F.count(F.lit(1))
+        ).alias("PRW2"),
+    )
+    agg = agg.withColumn("RMO", F.col("__prcp_mean") * dim).drop("__prcp_mean")
+    w_all = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    agg = agg.withColumn(
+        "RST3",
+        F.lit(3.0) * F.abs(F.col("RMO") - F.median("RMO").over(w_all)) / F.col("RST2"),
+    ).withColumn("WI", F.lit(0.0))
+    cols = ["OBMX", "OBMN", "SDTMX", "SDTMN", "RMO", "RST2", "RST3", "PRW1",
+            "PRW2", "DAYP", "WI", "OBSL", "RH", "UAVO"]
+    return agg.select(*by, "month", *cols)
+
+
+def heat_units(
+    daily: DataFrame,
+    seasons: DataFrame,
+    tbs_col: str = "tbs",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """`OPC.update_phu` (`io/opc.py:222-250`): for each season row
+    (season_id, plantation_date, harvest_date, tbs[, site keys]) sum
+    HU = max(0, (tmax+tmin)/2 - TBS) over daily rows with
+    plantation_date < date < harvest_date (strict, per reference `:247`).
+
+    Non-equi range join; Spark broadcasts the (small) season side or AQE
+    picks the strategy at scale.
+    """
+    by = by or []
+    cond = (daily["date"] > seasons["plantation_date"]) & (
+        daily["date"] < seasons["harvest_date"]
+    )
+    for c in by:
+        cond = cond & (daily[c] == seasons[c])
+    hu = F.greatest(
+        F.lit(0.0), (daily["tmax"] + daily["tmin"]) * F.lit(0.5) - seasons[tbs_col]
+    )
+    return (
+        daily.join(seasons, cond, "inner")
+        .groupBy(seasons["season_id"], *[seasons[c] for c in by])
+        .agg(F.sum(hu).alias("phu"))
+    )
+
+
+def pair_seasons(ops: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """`OPC.iter_seasons` pairing (`io/opc.py:276-290`): each plantation row
+    pairs with the *first* harvest of the same crop strictly after it.
+
+    ops: (date, code, crop[, by...]) with code in {'plant','harvest'}.
+    Output: (by..., crop, plantation_date, harvest_date) — plantations with no
+    later harvest are dropped, like the reference's ``continue``.
+    """
+    by = by or []
+    plants = ops.filter(F.col("code") == "plant").select(
+        *by, "crop", F.col("date").alias("plantation_date")
+    )
+    harvests = ops.filter(F.col("code") == "harvest").select(
+        *by, "crop", F.col("date").alias("harvest_date")
+    )
+    cond = [plants[c] == harvests[c] for c in by] + [
+        plants["crop"] == harvests["crop"],
+        harvests["harvest_date"] > plants["plantation_date"],
+    ]
+    joined = plants.join(harvests, cond, "inner").select(
+        *[plants[c] for c in by],
+        plants["crop"].alias("crop"),
+        "plantation_date",
+        "harvest_date",
+    )
+    w = Window.partitionBy(*by, "crop", "plantation_date").orderBy("harvest_date")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def rolling_median(
+    df: DataFrame, value: str, order: str, by: list[str], half_window: int
+) -> DataFrame:
+    """Centered rolling median (`utils/profile.py:40-51` rolling(center=True))
+    as a rows-between window — adds ``{value}_rmed``."""
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order)
+        .rowsBetween(-half_window, half_window)
+    )
+    # median/percentile are not frame-capable window aggregates in Spark;
+    # a sorted frame array + middle pick is (arrays are tiny: 2k+1 elems)
+    arr = F.array_sort(F.collect_list(value).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return df.withColumn(f"{value}_rmed", (lo + hi) / 2.0)
+
+
+def envelope_clip(
+    df: DataFrame, envelope: DataFrame, value: str, on: list[str]
+) -> DataFrame:
+    """Join per-key (lo, hi) envelope and clip (`utils/profile.py:430-440`):
+    greatest(least(v, hi), lo)."""
+    return df.join(F.broadcast(envelope), on=on, how="left").withColumn(
+        f"{value}_clipped",
+        F.greatest(F.least(F.col(value), F.col("hi")), F.col("lo")),
+    )
+
+
+def missing_dates(daily: DataFrame, by: list[str]) -> DataFrame:
+    """`DLY.validate` date-coverage anti-join (`io/inputs.py:230-256`):
+    build the full per-group date spine from min..max and anti-join actuals;
+    output the missing (by..., date) rows."""
+    spans = daily.groupBy(*by).agg(
+        F.min("date").alias("__d0"), F.max("date").alias("__d1")
+    )
+    spine = spans.select(
+        *by, F.explode(F.sequence("__d0", "__d1")).alias("date")
+    )
+    return spine.join(daily.select(*by, "date"), on=[*by, "date"], how="left_anti")
+
+
+def interpolate_daily(
+    df: DataFrame, value: str, by: list[str]
+) -> DataFrame:
+    """Reindex-to-daily + linear interpolation (`utils/profile.py:30-76`):
+    explode the date spine, then blend last/next non-null values weighted by
+    date distance. Pure window functions — no UDF."""
+    spans = df.groupBy(*by).agg(F.min("date").alias("__d0"), F.max("date").alias("__d1"))
+    spine = spans.select(*by, F.explode(F.sequence("__d0", "__d1")).alias("date"))
+    full = spine.join(df, on=[*by, "date"], how="left")
+    w_bwd = Window.partitionBy(*by).orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.partitionBy(*by).orderBy("date").rowsBetween(0, Window.unboundedFollowing)
+    vdate = F.when(F.col(value).isNotNull(), F.col("date"))
+    full = (
+        full.withColumn("__pv", F.last(value, ignorenulls=True).over(w_bwd))
+        .withColumn("__pd", F.last(vdate, ignorenulls=True).over(w_bwd))
+        .withColumn("__nv", F.first(value, ignorenulls=True).over(w_fwd))
+        .withColumn("__nd", F.first(vdate, ignorenulls=True).over(w_fwd))
+    )
+    frac = F.datediff("date", "__pd") / F.datediff("__nd", "__pd")
+    interp = (
+        F.when(F.col(value).isNotNull(), F.col(value))
+        .when(F.col("__pv").isNull(), F.col("__nv"))
+        .when(F.col("__nv").isNull(), F.col("__pv"))
+        .otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac)
+    )
+    return full.withColumn(f"{value}_interp", interp).drop("__pv", "__pd", "__nv", "__nd")

@@ -1,0 +1,148 @@
+"""Dedup / similarity / text operators vs brute-force oracles on small data."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from geo_epic_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from geo_epic_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    kmeans_centroids,
+)
+from geo_epic_spark.operators.text import text_features
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "el rapido zorro marron salta sobre el perro perezoso en la calle"),
+    (4, "completely different content about spark partitions and shuffles today"),
+    (5, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (6, "der schnelle braune fuchs springt ueber den faulen hund und das haus"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def _jaccard(a: str, b: str, n=3) -> float:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark, docs):
+    got = exact_dedup(docs).toPandas()
+    assert sorted(got.doc_id) == [1, 2, 3, 4, 6]  # 5 collapses into 1
+
+
+def test_ngram_jaccard_vs_brute(spark, docs):
+    got = ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    want = {}
+    for i, (ia, ta) in enumerate(DOCS):
+        for ib, tb in DOCS[i + 1 :]:
+            j = _jaccard(ta, tb)
+            if j >= 0.3:
+                want[(ia, ib)] = j
+    got_pairs = {(int(r.id_a), int(r.id_b)): r.jaccard for r in got.itertuples()}
+    assert set(got_pairs) == set(want)
+    for k in want:
+        assert abs(got_pairs[k] - want[k]) < 1e-9
+    assert (1, 5) in got_pairs and got_pairs[(1, 5)] == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    got = minhash_lsh_pairs(docs, threshold=0.3, num_hashes=64, bands=32).toPandas()
+    pairs = {(int(r.id_a), int(r.id_b)) for r in got.itertuples()}
+    assert (1, 5) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # near dup (J ~ 0.71)
+    # no false positives below threshold survive the exact verify
+    for a, b in pairs:
+        assert _jaccard(dict(DOCS)[a], dict(DOCS)[b]) >= 0.3
+
+
+def test_simhash_pairs(spark, docs):
+    got = simhash_dup_pairs(docs, max_hamming=10).toPandas()
+    pairs = {(int(r.id_a), int(r.id_b)) for r in got.itertuples()}
+    assert (1, 5) in pairs
+    hm = {tuple(sorted((r.id_a, r.id_b))): r.hamming for r in got.itertuples()}
+    assert hm[(1, 5)] == 0
+
+
+def _vectors(n=40, dim=8):
+    rng = np.random.Generator(np.random.PCG64(3))
+    v = rng.normal(size=(n, dim))
+    v[1] = v[0] + rng.normal(scale=1e-3, size=dim)  # planted near-dup
+    return v
+
+
+def test_embedding_near_dup(spark):
+    v = _vectors()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_near_dup_pairs(df, threshold=0.99).toPandas()
+    pairs = {(int(r.id_a), int(r.id_b)) for r in got.itertuples()}
+    assert (0, 1) in pairs
+    norm = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    for a, b in pairs:
+        assert cos[a, b] >= 0.99
+
+
+def test_cosine_topk_exact(spark):
+    v = _vectors()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [float(x) for x in v[0]])], "q_id long, q_vec array<double>"
+    )
+    got = cosine_topk(df, q, k=5).toPandas().sort_values("rank")
+    norm = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos = norm @ (v[0] / np.linalg.norm(v[0]))
+    want = np.lexsort((np.arange(len(v)), -cos))[:5]
+    assert got.vec_id.tolist() == want.tolist()
+
+
+def test_ivf_topk_recall(spark):
+    v = _vectors(n=200, dim=8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(df, c=8)
+    assigned = ivf_assign(df, cents).cache()
+    assert assigned.select("ivf_list").distinct().count() > 1
+    q = spark.createDataFrame(
+        [(100, [float(x) for x in v[7]])], "q_id long, q_vec array<double>"
+    )
+    exact = cosine_topk(df, q, k=5).toPandas().vec_id.tolist()
+    approx = ivf_topk(assigned, q, cents, k=5, nprobe=4).toPandas().sort_values("rank").vec_id.tolist()
+    # recall@5 with nprobe=4/8 lists should capture most of the exact set
+    assert len(set(exact) & set(approx)) >= 3
+    assert approx[0] == 7  # the query vector itself is always found
+
+
+def test_text_features(spark, docs):
+    got = text_features(docs).toPandas().set_index("doc_id")
+    assert got.loc[1, "lang_pred"] == "en"
+    assert got.loc[3, "lang_pred"] == "es"
+    assert got.loc[6, "lang_pred"] == "de"
+    assert got.loc[1, "n_tokens"] == len(DOCS[0][1].split())
+    assert got.loc[1, "fingerprint"] == got.loc[5, "fingerprint"]
+    assert 0.0 <= got.quality.min() and got.quality.max() <= 1.0

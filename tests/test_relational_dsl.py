@@ -1,0 +1,110 @@
+"""Relational soil operators, select-DSL parity, validators."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from geo_epic_spark import synth
+from geo_epic_spark.functions.select_dsl import select_str
+from geo_epic_spark.operators.relational import (
+    depth_bucket_median,
+    dominant_component,
+    resume_filter,
+    soil_projection,
+)
+
+
+@pytest.fixture(scope="module")
+def comps(spark):
+    return synth.soil_components_df(spark, 40).cache()
+
+
+@pytest.fixture(scope="module")
+def layers(spark):
+    return synth.soil_layers_df(spark, 40).cache()
+
+
+def test_dominant_component(spark, comps):
+    got = dominant_component(comps).toPandas()
+    pdf = comps.toPandas()
+    assert len(got) == pdf.mukey.nunique()
+    for mk, grp in pdf.groupby("mukey"):
+        want = grp.sort_values(["comppct_r", "cokey"], ascending=[False, True]).iloc[0]
+        assert got[got.mukey == mk].cokey.iloc[0] == want.cokey
+
+
+def test_soil_projection_units(spark, comps, layers):
+    j = layers.join(comps.select("mukey", "cokey", "hydgrp", "albedodry_r"), "cokey")
+    got = soil_projection(j).toPandas()
+    src = j.toPandas()
+    np.testing.assert_allclose(got.depth_m, src.hzdepb_r * 0.01)
+    np.testing.assert_allclose(got.om_pct, src.om_r * 0.58)
+    np.testing.assert_allclose(got.ksat_mm_hr, src.ksat_r * 3.6)
+    np.testing.assert_allclose(
+        got.claytotal_r, 100 - src.sandtotal_r - src.silttotal_r
+    )
+    hmap = {"A": 1, "B": 2, "C": 3, "D": 4}
+    want = src.hydgrp.map(lambda h: hmap.get(h, 3))
+    assert (got.hydgrp_code == want).all()
+
+
+def test_depth_bucket_median(spark, comps, layers):
+    j = layers.join(comps.select("cokey", "mukey"), "cokey").filter("wthirdbar_r > 0")
+    got = depth_bucket_median(j, ["om_r", "ksat_r"]).toPandas()
+    pdf = j.toPandas()
+    pdf["depth_bucket"] = pdf.hzdepb_r.round(1)
+    want = pdf.groupby(["mukey", "depth_bucket"])[["om_r", "ksat_r"]].median()
+    assert len(got) == len(want)
+    merged = got.set_index(["mukey", "depth_bucket"]).join(want, rsuffix="_w")
+    np.testing.assert_allclose(merged.om_r_med, merged.om_r, rtol=1e-12)
+    np.testing.assert_allclose(merged.ksat_r_med, merged.ksat_r, rtol=1e-12)
+
+
+def test_resume_filter(spark):
+    work = spark.range(100).withColumnRenamed("id", "k")
+    done = spark.createDataFrame([(i,) for i in range(0, 100, 2)], "k long")
+    got = resume_filter(work, done, "k").toPandas()
+    assert sorted(got.k) == list(range(1, 100, 2))
+
+
+def test_select_dsl_range(spark):
+    df = synth.fields_df(spark, 100).select("SiteID", "CNTYFIPS")
+    got = select_str(df, "Range(0.35, 0.8)", order_by="SiteID").toPandas()
+    assert sorted(got.SiteID) == list(range(35, 80))
+
+
+def test_select_dsl_filter_and_union(spark):
+    df = synth.fields_df(spark, 100).select("SiteID", "CNTYFIPS")
+    got = select_str(df, "CNTYFIPS == '19000'; Range(0.0, 0.1) + CNTYFIPS == '19001'").toPandas()
+    pdf = df.toPandas().sort_values("SiteID").reset_index(drop=True)
+    # reference quirk (`misc.py:64`): Range bounds use the UNFILTERED length,
+    # applied as positional slice of the filtered frame — ceil(0.1*100)=10
+    # positions of the 10-row filtered subset.
+    a = pdf[pdf.CNTYFIPS == "19000"].iloc[: int(np.ceil(0.1 * len(pdf)))]
+    b = pdf[pdf.CNTYFIPS == "19001"]
+    want = set(a.SiteID) | set(b.SiteID)
+    assert set(got.SiteID) == want
+
+
+def test_select_dsl_random_seeded(spark):
+    df = synth.fields_df(spark, 100).select("SiteID", "CNTYFIPS")
+    a = select_str(df, "Random(0.3)").toPandas()
+    b = select_str(df, "Random(0.3)").toPandas()
+    assert sorted(a.SiteID) == sorted(b.SiteID)  # deterministic via fixed seed
+    assert 10 <= len(a) <= 60
+
+
+def test_validators_dly_ranges(spark):
+    """Port of DLY.validate range checks (`io/inputs.py:237-246`) as
+    DataFrame assertions over the synthetic weather."""
+    daily = synth.weather_daily_df(spark, 2, 365)
+    bad = daily.filter(
+        ~F.col("srad").between(0.01, 900)
+        | ~F.col("tmax").between(-50, 100)
+        | ~F.col("tmin").between(-50, 100)
+        | (F.col("tmax") < F.col("tmin"))
+        | ~F.col("rh").between(0, 1)
+        | (F.col("prcp") < 0) | (F.col("prcp") > 900)
+        | (F.col("ws").isNotNull() & ~F.col("ws").between(0, 900))
+    ).count()
+    assert bad == 0

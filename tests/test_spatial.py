@@ -1,0 +1,159 @@
+"""Spatial join correctness vs independent numpy oracles, including a
+BallTree-semantics brute-force kNN oracle (`raster_utils.py:16-30` parity)."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from geo_epic_spark import cells, synth
+from geo_epic_spark.geometry import points_in_polygon
+from geo_epic_spark.operators.spatial import (
+    nearest_grid_join,
+    pip_join,
+    rasterize,
+    vectorize,
+    zonal_stats,
+)
+
+N_IMG = 1200
+N_POLY = 60
+
+
+@pytest.fixture(scope="module")
+def imgs(spark):
+    return synth.images_meta_df(spark, N_IMG).select("i", "cx", "cy").cache()
+
+
+@pytest.fixture(scope="module")
+def flds(spark):
+    return synth.fields_df(spark, N_POLY).cache()
+
+
+def _np_meta():
+    return synth.images_meta_np(N_IMG)
+
+
+def test_pip_join_vs_oracle(spark, imgs, flds):
+    got = (
+        pip_join(imgs, flds.select("poly_id", "xs", "ys"), res=0.05, lon="cx", lat="cy")
+        .select("i", "poly_id")
+        .toPandas()
+    )
+    m = _np_meta()
+    fp = flds.select("poly_id", "x0", "y0", "x1", "y1").toPandas()
+    want = set()
+    for f in fp.itertuples():
+        mask = (m["cx"] >= f.x0) & (m["cx"] <= f.x1) & (m["cy"] >= f.y0) & (m["cy"] <= f.y1)
+        want |= {(int(i), int(f.poly_id)) for i in m["i"][mask]}
+    assert set(map(tuple, got.values.tolist())) == want
+
+
+def test_pip_join_left_keeps_unmatched(spark, imgs, flds):
+    left = pip_join(
+        imgs, flds.select("poly_id", "xs", "ys"), res=0.05, lon="cx", lat="cy", how="left"
+    )
+    n_points = imgs.count()
+    ids = left.select("i").distinct().count()
+    assert ids == n_points
+
+
+def test_pip_general_polygon(spark):
+    # concave polygon exercised through the full Spark path
+    xs = [0.0, 2.0, 2.0, 1.0, 1.0, 0.0]
+    ys = [40.0, 40.0, 41.0, 41.0, 42.0, 42.0]
+    polys = spark.createDataFrame(
+        [(1, xs, ys)], "poly_id long, xs array<double>, ys array<double>"
+    )
+    pts = spark.createDataFrame(
+        [(1, 1.5, 41.5), (2, 0.5, 41.5), (3, 1.5, 40.5), (4, 2.5, 40.5)],
+        "i long, lon double, lat double",
+    )
+    got = {r.i for r in pip_join(pts, polys, res=0.5).select("i").collect()}
+    assert got == {2, 3}
+
+
+def test_nearest_grid_join_vs_balltree_semantics(spark, imgs):
+    grid = synth.grid_df(spark, 25, 40, 0.125)
+    got = (
+        nearest_grid_join(imgs, grid, res=0.125, point_id="i", point_lon="cx", point_lat="cy")
+        .select("i", "grid_id")
+        .toPandas()
+        .sort_values("i")
+    )
+    m = _np_meta()
+    gp = grid.toPandas().sort_values("grid_id")
+    d2 = (m["cx"][:, None] - gp.lon.values[None, :]) ** 2 + (
+        m["cy"][:, None] - gp.lat.values[None, :]
+    ) ** 2
+    want = gp.grid_id.values[d2.argmin(axis=1)]  # ties: lowest grid_id (sorted)
+    assert len(got) == N_IMG
+    assert np.array_equal(got.grid_id.to_numpy(), want)
+
+
+def test_nearest_k3(spark, imgs):
+    grid = synth.grid_df(spark, 25, 40, 0.125)
+    got = nearest_grid_join(
+        imgs.limit(50), grid, res=0.125, k=3, point_id="i", point_lon="cx", point_lat="cy"
+    ).toPandas()
+    assert sorted(got.nn_rank.unique().tolist()) == [1, 2, 3]
+    per = got.groupby("i").size()
+    assert (per == 3).all()
+    # ranks are distance-ordered
+    for _, g in got.groupby("i"):
+        d = g.sort_values("nn_rank").nn_dist.to_numpy()
+        assert (np.diff(d) >= 0).all()
+
+
+def test_nearest_escalates_beyond_ring1(spark):
+    # a single far-away point: nearest grid cell is many rings away
+    pts = spark.createDataFrame([(1, -99.9, 40.1)], "i long, lon double, lat double")
+    grid = synth.grid_df(spark, 4, 4, 0.05, lon0=-97.0, lat0=41.0)
+    got = nearest_grid_join(pts, grid, res=0.05, point_id="i", max_ring=128).toPandas()
+    gp = grid.toPandas()
+    d2 = (gp.lon - (-99.9)) ** 2 + (gp.lat - 40.1) ** 2
+    assert got.grid_id.iloc[0] == gp.grid_id[d2.idxmin()]
+
+
+def test_zonal_stats(spark, flds):
+    raster = synth.soil_grid_df(spark, 80, 120, 0.03)
+    got = zonal_stats(
+        raster, flds.select("poly_id", "xs", "ys"), value="mukey", res=0.05,
+        stats=("mean", "median", "mode", "count"),
+    ).toPandas().set_index("poly_id")
+    rp = raster.toPandas()
+    fp = flds.select("poly_id", "x0", "y0", "x1", "y1").toPandas()
+    checked = 0
+    for f in fp.itertuples():
+        m = (rp.lon >= f.x0) & (rp.lon <= f.x1) & (rp.lat >= f.y0) & (rp.lat <= f.y1)
+        if not m.any():
+            assert f.poly_id not in got.index
+            continue
+        sub = rp[m]
+        row = got.loc[f.poly_id]
+        assert row.n_cells == len(sub)
+        assert abs(row.mukey_mean - sub.mukey.mean()) < 1e-9
+        assert abs(row.mukey_median - sub.mukey.median()) < 1e-9
+        checked += 1
+    assert checked > 5
+
+
+def test_rasterize_vectorize_roundtrip(spark, flds):
+    sub = flds.limit(12)
+    rast = rasterize(sub, res=cells.RES_1KM).cache()
+    # every burned cell's center is inside its zone polygon
+    joined = rast.join(
+        sub.select(F.col("poly_id").alias("zone"), "x0", "y0", "x1", "y1"), "zone"
+    )
+    bad = joined.filter(
+        (F.col("lon") < F.col("x0")) | (F.col("lon") > F.col("x1"))
+        | (F.col("lat") < F.col("y0")) | (F.col("lat") > F.col("y1"))
+    ).count()
+    assert bad == 0
+    vec = vectorize(rast).toPandas()
+    fp = sub.toPandas()
+    assert set(vec.zone) <= set(fp.poly_id)
+    # vectorized extents sit within the polygon bbox (cell centers only)
+    v = vec.set_index("zone").join(fp.set_index("poly_id"))
+    assert (v.lon_min >= v.x0 - cells.RES_1KM).all()
+    assert (v.lon_max <= v.x1 + cells.RES_1KM).all()

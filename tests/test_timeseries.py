@@ -1,0 +1,143 @@
+"""Time-series operator parity vs a pandas reimplementation of the reference
+semantics (`io/inputs.py:293-332` to_monthly, `io/opc.py:222-290` PHU)."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from geo_epic_spark import synth
+from geo_epic_spark.operators.timeseries import (
+    heat_units,
+    interpolate_daily,
+    missing_dates,
+    monthly_normals,
+    pair_seasons,
+    rolling_median,
+)
+
+DAYS_IN_MONTH = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+
+
+@pytest.fixture(scope="module")
+def daily(spark):
+    return synth.weather_daily_df(spark, 3, 730).cache()
+
+
+def _pandas_to_monthly(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Faithful pandas port of DLY.to_monthly (`io/inputs.py:293-332`)."""
+    pdf = pdf.sort_values("date").reset_index(drop=True)
+    pdf["month"] = pd.to_datetime(pdf["date"]).dt.month
+    grouped = pdf.groupby("month")
+    ss = grouped[["srad", "tmax", "tmin", "prcp", "rh", "ws"]].mean()
+    ss["RMO"] = ss["prcp"] * np.array(DAYS_IN_MONTH)
+    ss["SDTMX"] = grouped["tmax"].std()
+    ss["SDTMN"] = grouped["tmin"].std()
+    ss["RST2"] = grouped["prcp"].std()
+    ss["DAYP"] = grouped.apply(lambda x: (x["prcp"] > 0.5).sum() / len(x), include_groups=False)
+    ss["RST3"] = 3 * abs(ss["RMO"] - ss["RMO"].median()) / ss["RST2"]
+    # reference writes np.diff(bool)==-1 (`io/inputs.py:311`) which is a no-op
+    # on numpy>=1.13 (bool diff is XOR); the documented intent is the count of
+    # wet->dry transitions, i.e. int diff == -1 — implemented here and in Spark.
+    ss["PRW1"] = grouped.apply(
+        lambda x: np.sum(np.diff((x["prcp"] > 0.5).astype(int)) == -1) / len(x),
+        include_groups=False,
+    )
+    ss["PRW2"] = grouped.apply(
+        lambda x: np.sum((x["prcp"].fillna(0) > 0.5).shift(fill_value=False) & (x["prcp"].fillna(0) > 0.5)) / len(x),
+        include_groups=False,
+    )
+    return ss
+
+
+def test_monthly_normals_vs_pandas(spark, daily):
+    got = monthly_normals(daily, by=["cell_id"]).toPandas()
+    pdf = daily.toPandas()
+    for cid in [0, 1, 2]:
+        want = _pandas_to_monthly(pdf[pdf.cell_id == cid])
+        g = got[got.cell_id == cid].set_index("month").sort_index()
+        for col_g, col_w in [
+            ("OBMX", "tmax"), ("OBMN", "tmin"), ("OBSL", "srad"), ("RH", "rh"),
+            ("RMO", "RMO"), ("SDTMX", "SDTMX"), ("SDTMN", "SDTMN"), ("RST2", "RST2"),
+            ("DAYP", "DAYP"), ("RST3", "RST3"), ("PRW1", "PRW1"), ("PRW2", "PRW2"),
+        ]:
+            np.testing.assert_allclose(
+                g[col_g].to_numpy(), want[col_w].to_numpy(), rtol=1e-9,
+                err_msg=f"{col_g} mismatch for cell {cid}",
+            )
+
+
+def test_heat_units_vs_pandas(spark, daily):
+    seasons = spark.createDataFrame(
+        [
+            (1, 0, "2019-04-15", "2019-10-01", 10.0),
+            (2, 1, "2019-05-01", "2019-09-15", 8.0),
+            (3, 2, "2020-04-20", "2020-10-10", 12.0),
+        ],
+        "season_id long, cell_id long, plantation_date string, harvest_date string, tbs double",
+    ).select(
+        "season_id", "cell_id",
+        F.col("plantation_date").cast("date").alias("plantation_date"),
+        F.col("harvest_date").cast("date").alias("harvest_date"),
+        "tbs",
+    )
+    got = heat_units(daily, seasons, by=["cell_id"]).toPandas().set_index("season_id")
+    pdf = daily.toPandas()
+    pdf["date"] = pd.to_datetime(pdf["date"])
+    for sid, cid, pdt, hdt, tbs in [
+        (1, 0, "2019-04-15", "2019-10-01", 10.0),
+        (2, 1, "2019-05-01", "2019-09-15", 8.0),
+        (3, 2, "2020-04-20", "2020-10-10", 12.0),
+    ]:
+        sub = pdf[(pdf.cell_id == cid) & (pdf.date > pdt) & (pdf.date < hdt)]
+        want = (0.5 * (sub.tmax + sub.tmin) - tbs).clip(lower=0).sum()
+        assert abs(got.loc[sid, "phu"] - want) < 1e-8
+
+
+def test_pair_seasons_first_harvest(spark):
+    ops = spark.createDataFrame(
+        [
+            ("plant", "corn", "2019-04-01"),
+            ("harvest", "corn", "2019-09-01"),
+            ("harvest", "corn", "2019-10-01"),
+            ("plant", "corn", "2019-09-15"),
+            ("plant", "soy", "2019-05-01"),  # no harvest -> dropped
+            ("harvest", "soy", "2019-04-30"),  # before plant -> not eligible
+        ],
+        "code string, crop string, date string",
+    ).withColumn("date", F.col("date").cast("date"))
+    got = pair_seasons(ops).toPandas().sort_values("plantation_date")
+    assert len(got) == 2
+    assert str(got.iloc[0].harvest_date) == "2019-09-01"
+    assert str(got.iloc[1].harvest_date) == "2019-10-01"
+
+
+def test_missing_dates_anti_join(spark):
+    df = spark.createDataFrame(
+        [(1, "2019-01-01"), (1, "2019-01-02"), (1, "2019-01-05"), (2, "2019-01-01")],
+        "cell_id long, date string",
+    ).withColumn("date", F.col("date").cast("date"))
+    got = missing_dates(df, ["cell_id"]).toPandas()
+    assert sorted(str(d) for d in got[got.cell_id == 1].date) == ["2019-01-03", "2019-01-04"]
+    assert (got.cell_id == 2).sum() == 0
+
+
+def test_rolling_median_centered(spark):
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([1, 100, 3, 4, 5, 6, 7])],
+        "g long, t long, v double",
+    )
+    got = rolling_median(df, "v", "t", ["g"], half_window=1).toPandas().sort_values("t")
+    want = pd.Series([1.0, 100, 3, 4, 5, 6, 7]).rolling(3, center=True, min_periods=1).median()
+    np.testing.assert_allclose(got.v_rmed.to_numpy(), want.to_numpy())
+
+
+def test_interpolate_daily_linear(spark):
+    df = spark.createDataFrame(
+        [(1, "2019-01-01", 10.0), (1, "2019-01-05", 18.0), (1, "2019-01-07", None)],
+        "g long, date string, v double",
+    ).withColumn("date", F.col("date").cast("date"))
+    got = (
+        interpolate_daily(df, "v", ["g"]).toPandas().sort_values("date").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got.v_interp.to_numpy(), [10, 12, 14, 16, 18, 18, 18])
