@@ -151,8 +151,30 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, threshold=threshold, text=text, key=key, n=n)
-    return cand.join(exact, on=["id_a", "id_b"], how="inner")
+    # exact-verify ONLY the candidates: join each side's shingle set and
+    # intersect arrays — O(candidates), not a full-corpus similarity join
+    sh_sets = (
+        shingles(df.select(key, text), text, n)
+        .groupBy(key)
+        .agg(F.collect_set("shingle").alias("__sh"))
+    )
+    out = (
+        cand.join(
+            sh_sets.select(F.col(key).alias("id_a"), F.col("__sh").alias("__sh_a")), "id_a"
+        )
+        .join(
+            sh_sets.select(F.col(key).alias("id_b"), F.col("__sh").alias("__sh_b")), "id_b"
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("__sh_a") + F.size("__sh_b") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
 
 
 def simhash(df: DataFrame, text: str = "text", key: str = "doc_id", bits: int = 64) -> DataFrame:

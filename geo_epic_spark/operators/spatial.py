@@ -33,6 +33,36 @@ from geo_epic_spark.geometry import points_in_polygon
 # point-in-polygon refine UDF (vectorized per polygon within each Arrow batch)
 # ---------------------------------------------------------------------------
 
+def pip_expr(px: Column, py: Column, xs: Column, ys: Column) -> Column:
+    """Ray-cast point-in-polygon as a pure Column expression — a boolean-XOR
+    fold over the polygon edges via ``aggregate`` (higher-order function).
+
+    Stays entirely JVM-side (whole-stage codegen), so the PIP refine adds no
+    Python/Arrow hop to the candidate stream. Semantics identical to
+    geometry.points_in_polygon (half-open edges). Horizontal edges are safe:
+    the crossing test's first clause is false when ys[i] == ys[j], which
+    blankets the NaN the 0/0 slope would produce.
+    """
+    n = F.size(xs)
+
+    def edge(acc: Column, i: Column) -> Column:
+        j = F.when(i == 1, n).otherwise(i - 1)
+        xi, yi = F.element_at(xs, i), F.element_at(ys, i)
+        xj, yj = F.element_at(xs, j), F.element_at(ys, j)
+        crosses = ((yi > py) != (yj > py)) & (
+            px < (xj - xi) * (py - yi) / (yj - yi) + xi
+        )
+        return acc != crosses  # boolean XOR
+
+    fold = F.aggregate(F.sequence(F.lit(1), n), F.lit(False), edge)
+    # Catalyst (Spark 4.1) under-counts a lambda's captured outer attributes
+    # when computing predicate references, so a bare HOF filter after a join
+    # gets pushed to the polygon side and fails binding (ATTRIBUTE_NOT_FOUND).
+    # Wrapping in one atomic CASE that references px/py at the top level makes
+    # the cross-side dependency visible and blocks the bogus pushdown.
+    return F.when(px.isNotNull() & py.isNotNull(), fold).otherwise(F.lit(False))
+
+
 @F.pandas_udf(BooleanType())
 def _pip_udf(px: pd.Series, py: pd.Series, poly_id: pd.Series,
              xs: pd.Series, ys: pd.Series) -> pd.Series:
@@ -83,6 +113,7 @@ def pip_join(
     how: str = "inner",
     broadcast_polys: bool = True,
     keep_poly_cols: list[str] | None = None,
+    refine: str = "expr",
 ) -> DataFrame:
     """Point-in-polygon assignment join.
 
@@ -92,9 +123,13 @@ def pip_join(
     keeps them with null poly_id.
 
     Plan shape: polys → explode covering cells (bbox superset, pure arithmetic)
-    → equi-join on cell (broadcast if small) → exact ray-cast refine (Arrow
-    UDF). A (point, polygon) candidate appears exactly once because a point
-    has exactly one cell, so no post-join dedup is needed.
+    → equi-join on cell (broadcast if small) → exact ray-cast refine. A
+    (point, polygon) candidate appears exactly once because a point has
+    exactly one cell, so no post-join dedup is needed.
+
+    refine: 'expr' (default) keeps the ray-cast in whole-stage codegen via a
+    higher-order-function fold; 'udf' uses the Arrow-batched pandas UDF
+    (useful when swapping in native prepared geometries).
     """
     keep = keep_poly_cols or []
     poly_cells = polys.select(
@@ -106,9 +141,11 @@ def pip_join(
     )
     pts = points.withColumn("__cell", cells.cell_id(F.col(lon), F.col(lat), res))
     cand = pts.join(_maybe_broadcast(poly_cells, broadcast_polys), "__cell", "inner")
-    hit = cand.filter(
-        _pip_udf(F.col(lon), F.col(lat), F.col("__pid"), F.col("__xs"), F.col("__ys"))
-    ).drop("__xs", "__ys", "__cell").withColumnRenamed("__pid", poly_id)
+    if refine == "expr":
+        inside = pip_expr(F.col(lon), F.col(lat), F.col("__xs"), F.col("__ys"))
+    else:
+        inside = _pip_udf(F.col(lon), F.col(lat), F.col("__pid"), F.col("__xs"), F.col("__ys"))
+    hit = cand.filter(inside).drop("__xs", "__ys", "__cell").withColumnRenamed("__pid", poly_id)
     if how == "inner":
         return hit
     if how == "left":
@@ -157,6 +194,7 @@ def nearest_grid_join(
     grid_lat: str = "lat",
     max_ring: int = 8,
     broadcast_grid: bool = True,
+    adaptive: bool = True,
 ) -> DataFrame:
     """Assign each point its k nearest grid rows (BallTree replacement,
     `utils/raster_utils.py:16-30`; soil/weather assignment callers
@@ -185,9 +223,8 @@ def nearest_grid_join(
         F.col(grid_id).alias("__gid"),
         F.col(grid_lon).alias("__glon"),
         F.col(grid_lat).alias("__glat"),
-        cells.cell_id(F.col(grid_lon), F.col(grid_lat), res).alias("__cell"),
+        cells.cell_id(F.col(grid_lon), F.col(grid_lat), res).alias("__gcell"),
     )
-    g = _maybe_broadcast(g, broadcast_grid)
 
     pending = points.withColumn(
         "__pcell", cells.cell_id(F.col(point_lon), F.col(point_lat), res)
@@ -199,34 +236,65 @@ def nearest_grid_join(
     results: list[DataFrame] = []
     r = 1
     while True:
-        cand = (
-            pending.withColumn("__cell", F.explode(cells.k_ring(F.col("__pcell"), r)))
-            .join(g, "__cell", "inner")
-            .withColumn(
-                "__d",
-                dist_fn(F.col(point_lon), F.col(point_lat), F.col("__glon"), F.col("__glat")),
+        # Chebyshev symmetry: point-cell within ring r of grid-cell iff the
+        # reverse holds — so expand whichever side is cheaper. Small rings
+        # explode the (broadcast) grid side, leaving the big point stream
+        # un-multiplied; escalation rounds (few pending points) explode the
+        # point side to avoid an 18M-row broadcast at large r.
+        if r <= 2 and broadcast_grid:
+            g_r = F.broadcast(
+                g.withColumn("__cell", F.explode(cells.k_ring(F.col("__gcell"), r)))
             )
-        )
-        w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
-            F.col("__d").asc(), F.col("__gid").asc()
-        )
-        topk = (
-            cand.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= k)
+            probe = pending.withColumn("__cell", F.col("__pcell"))
+        else:
+            g_r = _maybe_broadcast(
+                g.withColumn("__cell", F.col("__gcell")), broadcast_grid
+            )
+            probe = pending.withColumn(
+                "__cell", F.explode(cells.k_ring(F.col("__pcell"), r))
+            )
+        cand = probe.join(g_r.drop("__gcell"), "__cell", "inner").withColumn(
+            "__d",
+            dist_fn(F.col(point_lon), F.col(point_lat), F.col("__glon"), F.col("__glat")),
         )
         final_ring = r >= max_ring
-        if final_ring:
-            done = topk
+        if k == 1:
+            # k=1 fast path: min_by aggregation gets map-side partial
+            # aggregation (one surviving row per point per input partition)
+            # instead of the full candidate shuffle a row_number window needs.
+            best = cand.groupBy(*[F.col(c) for c in point_cols]).agg(
+                F.min_by(
+                    F.struct(F.col("__gid"), F.col("__d")),
+                    F.struct(F.col("__d"), F.col("__gid")),
+                ).alias("__b")
+            )
+            topk = best.select(
+                *point_cols,
+                F.col("__b.__gid").alias("__gid"),
+                F.lit(1).alias("__rk"),
+                F.col("__b.__d").alias("__d"),
+            )
+            done = topk if final_ring else topk.filter(F.col("__d") < guard(r))
         else:
-            # complete iff we found k candidates AND the worst is inside the
-            # guarantee radius
-            w2 = Window.partitionBy(*[F.col(c) for c in key_cols])
-            topk = topk.withColumn("__kmax", F.max("__d").over(w2)).withColumn(
-                "__kcnt", F.count(F.lit(1)).over(w2)
+            w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+                F.col("__d").asc(), F.col("__gid").asc()
             )
-            done = topk.filter((F.col("__kcnt") >= k) & (F.col("__kmax") < guard(r))).drop(
-                "__kmax", "__kcnt"
+            topk = (
+                cand.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= k)
             )
+            if final_ring:
+                done = topk
+            else:
+                # complete iff we found k candidates AND the worst is inside
+                # the guarantee radius
+                w2 = Window.partitionBy(*[F.col(c) for c in key_cols])
+                topk = topk.withColumn("__kmax", F.max("__d").over(w2)).withColumn(
+                    "__kcnt", F.count(F.lit(1)).over(w2)
+                )
+                done = topk.filter(
+                    (F.col("__kcnt") >= k) & (F.col("__kmax") < guard(r))
+                ).drop("__kmax", "__kcnt")
         results.append(
             done.select(
                 *point_cols,
@@ -237,12 +305,22 @@ def nearest_grid_join(
         )
         if final_ring:
             break
-        pending = pending.join(
-            done.select(*key_cols).distinct(), on=key_cols, how="left_anti"
-        )
-        # cheap emptiness probe would force an action per ring; instead rings
-        # grow geometrically so at most log2(max_ring) joins are planned, and
-        # empty pendings produce empty joins at negligible cost.
+        if adaptive:
+            # materialize this round and probe for stragglers: dense lattices
+            # finish in one round, so paying one count() action here beats
+            # shipping a 4-round chained plan of anti-joins that all turn out
+            # empty (measured 3x on the bench grid).
+            done.cache()
+            pending_next = pending.join(
+                done.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+            )
+            if pending_next.isEmpty():
+                break
+            pending = pending_next
+        else:
+            pending = pending.join(
+                done.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+            )
         r *= 2
 
     out = results[0]
@@ -302,7 +380,7 @@ def rasterize(
     lon, lat = cells.cell_center(F.col("cell_id"), res)
     cand = cand.withColumn("lon", lon).withColumn("lat", lat)
     hit = cand.filter(
-        _pip_udf(F.col("lon"), F.col("lat"), F.col("zone"), F.col("__xs"), F.col("__ys"))
+        pip_expr(F.col("lon"), F.col("lat"), F.col("__xs"), F.col("__ys"))
     )
     return hit.groupBy("cell_id", "lon", "lat").agg(F.min("zone").alias("zone"))
 
