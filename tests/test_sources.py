@@ -1,0 +1,74 @@
+"""Fixed-width scan/sink (S5/S11) and TableIO partitioned writer."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from geo_epic_spark.sources.fixedwidth import (
+    DLY_LAYOUT, OPC_LAYOUT, format_fwf, read_fwf,
+)
+from geo_epic_spark.sources.tables import TableIO, iceberg_available
+
+
+def _dly_lines(n=10):
+    # replicate the reference's %6.2f-ish fixed-width daily weather layout
+    lines = []
+    for d in range(n):
+        y, m, day = 2020, 1, d + 1
+        vals = [15.0 + d, 10.0 + d, -2.0 + d, 0.5 * d, 0.6, 3.5]
+        line = f"{y:6d}{m:4d}{day:4d}" + "".join(f"{v:6.2f}"[:6].rjust(6) for v in vals)
+        lines.append(line)
+    return lines
+
+
+def test_read_fwf_dly_roundtrip(spark, tmp_path):
+    p = tmp_path / "w.DLY"
+    p.write_text("\n".join(_dly_lines(10)) + "\n")
+    df = read_fwf(spark, str(p), DLY_LAYOUT).toPandas().sort_values("day")
+    assert len(df) == 10
+    assert df["year"].unique().tolist() == [2020]
+    np.testing.assert_allclose(df["srad"].to_numpy(), 15.0 + np.arange(10))
+    np.testing.assert_allclose(df["ws"].to_numpy(), 3.5)
+
+
+def test_read_fwf_skiprows_opc(spark, tmp_path):
+    body = "  1  3 15  100    1    2    0" + "    1.50" * 8
+    p = tmp_path / "s.OPC"
+    p.write_text("header line 1\nheader line 2\n" + body + "\n")
+    df = read_fwf(spark, str(p), OPC_LAYOUT, skiprows=2).toPandas()
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert (r["Yid"], r["Mn"], r["Dy"], r["CODE"]) == (1, 3, 15, 100)
+    assert r["OPV8"] == 1.5
+
+
+def test_format_fwf_parses_back(spark, tmp_path):
+    pdf = pd.DataFrame({
+        "year": [2020], "month": [2], "day": [29],
+        "srad": [12.34], "tmax": [5.0], "tmin": [-3.25],
+        "prcp": [0.0], "rh": [0.66], "ws": [3.5],
+    })
+    df = spark.createDataFrame(pdf)
+    out = format_fwf(df, DLY_LAYOUT)
+    path = str(tmp_path / "out")
+    out.write.mode("overwrite").text(path)
+    back = read_fwf(spark, path, DLY_LAYOUT).toPandas()
+    assert len(back) == 1
+    assert back.iloc[0]["tmin"] == -3.25
+    assert back.iloc[0]["year"] == 2020
+
+
+def test_tableio_parquet_fallback_partition_overwrite(spark, tmp_path):
+    # no Iceberg jar in this sandbox -> parquet path engages
+    assert not iceberg_available(spark)
+    io = TableIO(spark, root=str(tmp_path))
+    df1 = spark.createDataFrame(pd.DataFrame({"p": ["a", "a", "b"], "v": [1, 2, 3]}))
+    io.append(df1, "t", partition_by=["p"])
+    assert io.read("t").count() == 3
+    # overwrite only partition 'a'; 'b' rows must survive
+    df2 = spark.createDataFrame(pd.DataFrame({"p": ["a"], "v": [9]}))
+    io.overwrite_partitions(df2, "t", partition_by=["p"])
+    got = io.read("t").toPandas().sort_values("v")
+    assert got[got["p"] == "b"]["v"].tolist() == [3]
+    assert got[got["p"] == "a"]["v"].tolist() == [9]
