@@ -37,7 +37,15 @@ from geo_epic_spark.operators.spatial import (
     rasterize,
     zonal_stats,
 )
+from geo_epic_spark.functions.validators import dly_violations
+from geo_epic_spark.operators.phenology import (
+    count_seasons,
+    fit_double_logistic,
+    fit_harmonic,
+    smooth_series,
+)
 from geo_epic_spark.operators.text import (
+    lang_id,
     quality_score,
     subword_count,
     token_count,
@@ -745,6 +753,251 @@ def _sql_cosine_topk() -> str:
 
 
 # ---------------------------------------------------------------------------
+# phenology / smoothing / validation / misc joins
+# ---------------------------------------------------------------------------
+
+_SG7 = "(-2*{p3} + 3*{p2} + 6*{p1} + 7*tmax + 6*{n1} + 3*{n2} - 2*{n3}) / 21.0"
+
+
+def q_smooth_savgol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 Savitzky-Golay smoothing (`phenocrop/smooth.py:62`) via grouped
+    applyInPandas; interior rows only, so the DuckDB oracle is the exact
+    rational-coefficient window dot product ((-2,3,6,7,6,3,-2)/21)."""
+    w = synth.weather_daily_df(spark, W_CELLS, W_DAYS)
+    sm = smooth_series(
+        w.select("cell_id", "date", "tmax"), "tmax",
+        by="cell_id", order="date", window_length=7, polyorder=2,
+    )
+    win = Window.partitionBy("cell_id").orderBy("date")
+    out = sm.withColumn("pos", F.row_number().over(win)).filter(
+        (F.col("pos") >= 4) & (F.col("pos") <= W_DAYS - 3)
+    )
+    return out.select(
+        "cell_id",
+        F.date_format("date", "yyyy-MM-dd").alias("d"),
+        F.round("tmax_smoothed", 6).alias("tmax_sm"),
+    )
+
+
+def _sql_smooth_savgol() -> str:
+    expr = _SG7.format(
+        p3="lag(tmax, 3) OVER win", p2="lag(tmax, 2) OVER win",
+        p1="lag(tmax, 1) OVER win", n1="lead(tmax, 1) OVER win",
+        n2="lead(tmax, 2) OVER win", n3="lead(tmax, 3) OVER win",
+    )
+    return f"""
+    WITH w AS ({synth.weather_daily_sql(W_CELLS, W_DAYS)}),
+         s AS (
+           SELECT cell_id, date, {expr} AS sm,
+                  row_number() OVER win AS pos
+           FROM w WINDOW win AS (PARTITION BY cell_id ORDER BY date)
+         )
+    SELECT cell_id, strftime(date, '%Y-%m-%d') AS d, round(sm, 6) AS tmax_sm
+    FROM s WHERE pos BETWEEN 4 AND {W_DAYS - 3}
+    """
+
+
+def q_count_seasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 season counting: peaks >= 75th pct, min separation ceil(n/4)
+    (`phenocrop/detect_season.py:33-41`); greedy peak pruning is not
+    ANSI-SQL-expressible -> rows-only driver check, kernel tested in pytest."""
+    w = synth.weather_daily_df(spark, W_CELLS, W_DAYS)
+    return count_seasons(w.select("cell_id", "date", "tmax"), "tmax",
+                         by="cell_id", order="date")
+
+
+def _ndvi_series(spark: SparkSession, n_sites: int = 6, n_obs: int = 46) -> DataFrame:
+    """Deterministic per-site NDVI-like curves (double-logistic + hash
+    jitter) built from pure Column arithmetic."""
+    t = F.col("id")
+    site = (t / F.lit(n_obs)).cast("long")
+    doy = (t % F.lit(n_obs)) * 8 + 1
+    c = F.lit(4.0) + (site % 3).cast("double")
+    x01 = F.lit(120.0) + site.cast("double") * 5.0
+    s1 = 1.0 / (1.0 + F.exp(-0.08 * (doy - x01)))
+    s2 = 1.0 / (1.0 + F.exp(-0.1 * (doy - F.lit(250.0))))
+    jit = (F.pmod(F.xxhash64(t), F.lit(1000)) / 1000.0 - 0.5) * 0.05
+    return spark.range(n_sites * n_obs).select(
+        site.alias("site_id"),
+        doy.cast("double").alias("doy"),
+        (c * (s1 - s2) + jit).alias("ndvi"),
+    )
+
+
+def q_double_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 double-logistic fit + phenology dates (`opc/DoubleLogisticCurve.py`):
+    bounded Gauss-Newton per site inside applyInPandas (iterative optimizer —
+    no SQL oracle; recovery-accuracy invariants in pytest)."""
+    s = _ndvi_series(spark)
+    out = fit_double_logistic(s, "ndvi", by="site_id", doy="doy")
+    return out.select(
+        "site_id", F.round("c", 2).alias("c_fit"),
+        F.round("x01", 0).alias("sos"), F.round("x02", 0).alias("eos"),
+        "emergence_doy", "harvest_doy",
+    )
+
+
+def q_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8b harmonic regression per site (linear lstsq inside applyInPandas)."""
+    s = _ndvi_series(spark)
+    out = fit_harmonic(s, "ndvi", by="site_id", doy="doy")
+    return out.select("site_id", F.round("c1", 4).alias("c1_fit"), "n_seasons")
+
+
+def q_validate_dly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLY validator (§5): range + continuity checks as one distributed
+    aggregation. Violations planted deterministically: rh+2 on day 15 (24/cell),
+    ws nulls from the generator, and the 731st day (2020 is a leap year) is
+    absent from the 730-day table -> one missing date per cell."""
+    w = synth.weather_daily_df(spark, W_CELLS, W_DAYS)
+    w = (
+        w.withColumn("month", F.month("date"))
+        .withColumn("day", F.dayofmonth("date"))
+        .withColumn("rh", F.when(F.col("day") == 15, F.col("rh") + 2.0)
+                    .otherwise(F.col("rh")))
+    )
+    out = dly_violations(w, ["cell_id"], 2019, 2020)
+    return out.withColumn("n_bad", F.col("n_bad").cast("long"))
+
+
+def _sql_validate_dly() -> str:
+    base = synth.weather_daily_sql(W_CELLS, W_DAYS)
+    checks = {
+        "srad": "srad IS NULL OR srad < 0.01 OR srad > 900",
+        "tmin": "tmin IS NULL OR tmin < -50 OR tmin > 100",
+        "tmax": "tmax IS NULL OR tmax < -50 OR tmax > 100",
+        "prcp": "prcp IS NULL OR prcp < 0 OR prcp > 900",
+        "rh": "rh IS NULL OR rh < 0 OR rh > 1",
+        "ws": "ws IS NULL OR ws < 0 OR ws > 900",
+        "month": "month(date) IS NULL OR month(date) < 1 OR month(date) > 12",
+        "day": "day(date) IS NULL OR day(date) < 1 OR day(date) > 31",
+    }
+    branches = "\n UNION ALL ".join(
+        f"SELECT cell_id, '{c}' AS \"column\", CAST(SUM(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS n_bad FROM w GROUP BY cell_id"
+        for c, p in checks.items()
+    )
+    return f"""
+    WITH w0 AS ({base}),
+         w AS (SELECT cell_id, date, srad, tmax, tmin, prcp,
+                      rh + CASE WHEN day(date) = 15 THEN 2.0 ELSE 0.0 END AS rh,
+                      ws
+               FROM w0),
+         ranges AS ({branches}),
+         missing AS (
+           SELECT cell_id, '__missing_date' AS "column",
+                  CAST(731 - count(DISTINCT date) AS BIGINT) AS n_bad
+           FROM w GROUP BY cell_id
+         )
+    SELECT * FROM (SELECT * FROM ranges UNION ALL SELECT * FROM missing)
+    WHERE n_bad > 0
+    """
+
+
+def q_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: outer-join two per-date aggregates and mean-coalesce the pair
+    (`gee/core.py:215-225` merge of GEE collection frames)."""
+    e = _t(spark, sf_dir, "events")
+    a = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("d")).agg(F.avg("value").alias("va"))
+    )
+    b = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(F.to_date("ts").alias("d")).agg(F.avg("value").alias("vb"))
+    )
+    m = a.join(b, "d", "outer").withColumn(
+        "v",
+        F.when(F.col("va").isNotNull() & F.col("vb").isNotNull(),
+               (F.col("va") + F.col("vb")) / 2.0)
+        .otherwise(F.coalesce("va", "vb")),
+    )
+    return m.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"), F.round("v", 6).alias("v")
+    )
+
+
+def _sql_outer_coalesce() -> str:
+    return """
+    WITH a AS (SELECT CAST(ts AS DATE) AS d, avg(value) AS va FROM events
+               WHERE event_type = 'click' GROUP BY 1),
+         b AS (SELECT CAST(ts AS DATE) AS d, avg(value) AS vb FROM events
+               WHERE event_type = 'view' GROUP BY 1)
+    SELECT strftime(coalesce(a.d, b.d), '%Y-%m-%d') AS d,
+           round(CASE WHEN va IS NOT NULL AND vb IS NOT NULL THEN (va + vb) / 2.0
+                      ELSE coalesce(va, vb) END, 6) AS v
+    FROM a FULL OUTER JOIN b ON a.d = b.d
+    """
+
+
+def q_envelope_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 envelope clipping (`utils/profile.py:430-440`): join each daily
+    value to its month-day envelope (cross-cell min/max) and clip into
+    [lo+1, hi-1]."""
+    w = synth.weather_daily_df(spark, W_CELLS, W_DAYS)
+    env = w.groupBy(F.date_format("date", "MM-dd").alias("md")).agg(
+        F.min("tmax").alias("lo"), F.max("tmax").alias("hi")
+    )
+    out = (
+        w.withColumn("md", F.date_format("date", "MM-dd"))
+        .join(F.broadcast(env), "md")
+        .withColumn(
+            "tmax_clipped",
+            F.greatest(F.least(F.col("tmax"), F.col("hi") - 1.0), F.col("lo") + 1.0),
+        )
+    )
+    return out.select(
+        "cell_id", F.date_format("date", "yyyy-MM-dd").alias("d"),
+        F.round("tmax_clipped", 6).alias("tmax_clipped"),
+    )
+
+
+def _sql_envelope_clip() -> str:
+    return f"""
+    WITH w AS ({synth.weather_daily_sql(W_CELLS, W_DAYS)}),
+         env AS (
+           SELECT strftime(date, '%m-%d') AS md, min(tmax) AS lo, max(tmax) AS hi
+           FROM w GROUP BY 1
+         )
+    SELECT cell_id, strftime(date, '%Y-%m-%d') AS d,
+           round(greatest(least(tmax, hi - 1.0), lo + 1.0), 6) AS tmax_clipped
+    FROM w JOIN env ON strftime(w.date, '%m-%d') = env.md
+    """
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: most distinct stopword hits wins, ties to the
+    lexicographically larger code, 'und' when nothing hits."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    from geo_epic_spark.operators.text import STOPWORDS
+
+    stop_rows = ", ".join(
+        "('{}', [{}])".format(lg, ", ".join(f"'{w}'" for w in ws))
+        for lg, ws in STOPWORDS.items()
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+               FROM documents),
+         h AS (
+           SELECT doc_id, s.lang,
+                  len(list_distinct(list_intersect(words, s.stop))) AS hits
+           FROM w CROSS JOIN (VALUES {stop_rows}) AS s(lang, stop)
+         ),
+         r AS (
+           SELECT doc_id, lang, hits,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY hits DESC, lang DESC) AS rn
+           FROM h
+         )
+    SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+    FROM r WHERE rn = 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible ops (rows-only driver check; invariants in pytest)
 # ---------------------------------------------------------------------------
 
@@ -762,9 +1015,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH near-dup pairs over embeddings, cosine-verified."""
+    """Random-hyperplane LSH near-dup pairs over embeddings, cosine-verified.
+    Banded (OR-amplified) hashing: 6 planes x 8 bands keeps recall high at the
+    0.35 threshold the synthetic embedding distribution calls for."""
     v = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(v, threshold=0.9, planes=8)
+    return embedding_near_dup_pairs(v, threshold=0.35, planes=6, bands=8)
 
 
 def q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,13 +1043,30 @@ def q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=3 nearest-grid join (J1 with k>1; per-rank distance ordering is
-    asserted in pytest)."""
+    """k=3 nearest-grid join (J1 with k>1), DuckDB-oracled against a brute
+    cross join with the same (distance, grid_id) tie order."""
     pts = synth.images_meta_df(spark, 500).select("i", "cx", "cy")
     grid = synth.grid_df(spark, GRID_NR, GRID_NC, GRID_SP)
     return nearest_grid_join(
         pts, grid, res=GRID_SP, k=3, point_id="i", point_lon="cx", point_lat="cy"
     ).select("i", "grid_id", "nn_rank")
+
+
+def _sql_knn_k3() -> str:
+    return f"""
+    WITH pts AS ({synth.images_meta_sql(500)}),
+         grid AS ({synth.grid_sql(GRID_NR, GRID_NC, GRID_SP)}),
+         d AS (
+           SELECT p.i, g.grid_id,
+                  row_number() OVER (
+                    PARTITION BY p.i
+                    ORDER BY (p.cx - g.lon) * (p.cx - g.lon) + (p.cy - g.lat) * (p.cy - g.lat),
+                             g.grid_id
+                  ) AS nn_rank
+           FROM pts p CROSS JOIN grid g
+         )
+    SELECT i, grid_id, CAST(nn_rank AS INTEGER) AS nn_rank FROM d WHERE nn_rank <= 3
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -832,7 +1104,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_token_stats": q_token_stats,
         "q_cosine_topk": q_cosine_topk,
+        # phenology / smoothing / validation / misc joins
+        "q_smooth_savgol": q_smooth_savgol,
+        "q_validate_dly": q_validate_dly,
+        "q_outer_coalesce": q_outer_coalesce,
+        "q_envelope_clip": q_envelope_clip,
+        "q_lang_id": q_lang_id,
         # rows-only (non-SQL-expressible)
+        "q_count_seasons": q_count_seasons,
+        "q_double_logistic": q_double_logistic,
+        "q_harmonic_fit": q_harmonic_fit,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_near_dup": q_embedding_near_dup,
@@ -864,5 +1145,11 @@ def oracle_sql() -> dict[str, str]:
         "q_exact_dedup_docs": _sql_exact_dedup_docs(),
         "q_ngram_jaccard": _sql_ngram_jaccard(),
         "q_token_stats": _sql_token_stats(),
+        "q_knn_k3": _sql_knn_k3(),
+        "q_smooth_savgol": _sql_smooth_savgol(),
+        "q_validate_dly": _sql_validate_dly(),
+        "q_outer_coalesce": _sql_outer_coalesce(),
+        "q_envelope_clip": _sql_envelope_clip(),
+        "q_lang_id": _sql_lang_id(),
         "q_cosine_topk": _sql_cosine_topk(),
     }

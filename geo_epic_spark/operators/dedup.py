@@ -246,52 +246,61 @@ def embedding_near_dup_pairs(
     key: str = "vec_id",
     vec: str = "embedding",
     planes: int = 12,
+    bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: random-hyperplane LSH bucket join,
     exact cosine verify. Hyperplane normals are deterministic hash-derived
     pseudo-gaussians (sum of 4 uniforms), so no RNG state ships with the plan.
+
+    ``bands`` > 1 OR-amplifies recall: each band is an independent table of
+    ``planes`` hyperplanes; a pair is a candidate if it collides in ANY band
+    (explode band ids -> equi-join on (band, bucket) -> dedup pair). Collision
+    probability for angle θ is 1 - (1 - (1-θ/π)^planes)^bands — tune planes
+    down / bands up for lower thresholds. The shuffle key stays (band,
+    bucket): each row is replicated ``bands`` times, never all-pairs.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
     dim_df = df.select(F.size(vec).alias("d")).limit(1).collect()
     dim = dim_df[0]["d"]
-    # deterministic pseudo-gaussian planes
-    import numpy as np
 
-    def urand(j, k):
-        x = (j * 2654435761 + k * 40503 + 9176) % 4294967296
-        return x / 4294967296.0 - 0.5
+    # deterministic pseudo-gaussian normals, one (bands*planes, dim) matrix
+    j = np.arange(bands * planes)[:, None, None]
+    k = np.arange(dim)[None, :, None]
+    t = np.arange(4)[None, None, :]
+    u = ((j * 2654435761 + (4 * k + t) * 40503 + 9176) % 4294967296) / 4294967296.0 - 0.5
+    normals = u.sum(axis=2)  # (bands*planes, dim)
 
-    normals = [
-        [sum(urand(j, 4 * k + t) for t in range(4)) for k in range(dim)] for j in range(planes)
-    ]
-    sig = F.concat(
-        *[
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec),
-                        F.array(*[F.lit(float(v)) for v in normals[j]]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for j in range(planes)
-        ]
+    def _band_buckets(v):
+        # one matmul per Arrow batch: (n, dim) @ (dim, bands*planes)
+        m = np.stack(v.to_numpy())
+        bits = (m.astype(np.float64) @ normals.T) > 0  # (n, bands*planes)
+        codes = bits.reshape(len(m), bands, planes) @ (1 << np.arange(planes))
+        return pd.Series(list(codes.astype(np.int64)))
+
+    band_buckets = F.pandas_udf(_band_buckets, ArrayType(LongType()))
+
+    b = df.select(
+        key, vec,
+        F.posexplode(band_buckets(F.col(vec))).alias("band", "bucket"),
     )
-    b = df.select(key, vec).withColumn("bucket", sig)
     l, r = b.alias("l"), b.alias("r")
     cand = l.join(
         r,
-        (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{key}") < F.col(f"r.{key}")),
     ).select(
         F.col(f"l.{key}").alias("id_a"),
         F.col(f"r.{key}").alias("id_b"),
         F.col(f"l.{vec}").alias("va"),
         F.col(f"r.{vec}").alias("vb"),
     )
+    if bands > 1:
+        # a pair colliding in several bands appears once
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(F.transform("va", lambda a: a * a), F.lit(0.0), lambda s, x: s + x))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda a: a * a), F.lit(0.0), lambda s, x: s + x))

@@ -29,7 +29,9 @@ DEFAULT_CONF: dict[str, str] = {
     # Keep shuffle partition count moderate for local runs; AQE coalesces.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "128m",
-    "spark.driver.memory": "8g",
+    # local mode: the driver JVM hosts all executor threads — size the heap
+    # for 32 of them (~1.5g each) or GC contention caps thread scaling.
+    "spark.driver.memory": "48g",
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
 }

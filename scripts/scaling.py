@@ -41,6 +41,8 @@ def measure(cpus: int) -> dict:
         "spark.sql.shuffle.partitions": str(4 * cpus),
         "spark.default.parallelism": str(4 * cpus),
         "spark.locality.wait": "0",
+        # identical heap at both levels so GC headroom is not the variable
+        "spark.driver.memory": "64g",
     })
     imgs = synth.images_meta_df(spark, N_IMG).select("i", "cx", "cy")
     flds = synth.fields_df(spark, N_POLY).select("poly_id", "xs", "ys")
