@@ -1001,6 +1001,24 @@ def _sql_lang_id() -> str:
 # non-SQL-expressible ops (rows-only driver check; invariants in pytest)
 # ---------------------------------------------------------------------------
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (scale path of q_cosine_topk): coarse-quantize to 8
+    centroid lists, probe the 3 nearest per query. Approximate by design ->
+    rows-only driver check; recall-vs-exact invariant in pytest."""
+    from geo_epic_spark.operators.similarity import ivf_assign, ivf_topk, kmeans_centroids
+
+    v = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = kmeans_centroids(v, c=8)
+    assigned = ivf_assign(v, cents)
+    q = v.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(assigned, q, cents, k=5, nprobe=3)
+    return out.select("q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-verified (banded signatures —
     not ANSI-SQL-expressible; recall/precision invariants in pytest)."""
@@ -1111,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_envelope_clip": q_envelope_clip,
         "q_lang_id": q_lang_id,
         # rows-only (non-SQL-expressible)
+        "q_ivf_topk": q_ivf_topk,
         "q_count_seasons": q_count_seasons,
         "q_double_logistic": q_double_logistic,
         "q_harmonic_fit": q_harmonic_fit,

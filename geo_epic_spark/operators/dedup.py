@@ -120,7 +120,29 @@ def minhash_lsh_pairs(
     per textbook S-curve; raise bands for higher recall.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, text, key, n)
+    rng_a = [((2 * j + 1) * 0x9E3779B97F4A7C15) % _P or 1 for j in range(num_hashes)]
+    rng_b = [(j * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _P for j in range(num_hashes)]
+    sh = shingles(df.select(key, text), text, n).withColumn("__h", _shingle_hash())
+    # ONE pass over the exploded shingles computes the 64 permutation minima
+    # AND the hashed shingle set used by the exact verify; persisting the
+    # per-doc result (key + 64 longs + hash array, ~KB/doc) avoids a second
+    # full shingle explode+shuffle — the dominant cost of the old plan.
+    per_doc = (
+        sh.groupBy(key)
+        .agg(
+            F.collect_set("__h").alias("__sh"),
+            *[
+                F.min(
+                    F.pmod(F.col("__h") * F.lit(rng_a[j]) + F.lit(rng_b[j]), F.lit(_P))
+                ).alias(f"mh{j}")
+                for j in range(num_hashes)
+            ],
+        )
+        .persist()
+    )
+    sig = per_doc.select(
+        key, F.array(*[f"mh{j}" for j in range(num_hashes)]).alias("signature")
+    )
     banded = sig.select(
         key,
         F.explode(
@@ -151,13 +173,11 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
         .distinct()
     )
-    # exact-verify ONLY the candidates: join each side's shingle set and
-    # intersect arrays — O(candidates), not a full-corpus similarity join
-    sh_sets = (
-        shingles(df.select(key, text), text, n)
-        .groupBy(key)
-        .agg(F.collect_set("shingle").alias("__sh"))
-    )
+    # exact-verify ONLY the candidates: join each side's hashed shingle set
+    # and intersect — O(candidates), not a full-corpus similarity join.
+    # Hashed sets keep |set| exact up to 61-bit collisions (~2^-61/pair) and
+    # shuffle 8-byte longs instead of shingle strings.
+    sh_sets = per_doc.select(key, "__sh")
     out = (
         cand.join(
             sh_sets.select(F.col(key).alias("id_a"), F.col("__sh").alias("__sh_a")), "id_a"

@@ -140,12 +140,25 @@ def pip_join(
         F.explode(cells.cover_polygon(F.col(xs), F.col(ys), res)).alias("__cell"),
     )
     pts = points.withColumn("__cell", cells.cell_id(F.col(lon), F.col(lat), res))
-    cand = pts.join(_maybe_broadcast(poly_cells, broadcast_polys), "__cell", "inner")
+    build = _maybe_broadcast(poly_cells, broadcast_polys)
     if refine == "expr":
-        inside = pip_expr(F.col(lon), F.col(lat), F.col("__xs"), F.col("__ys"))
+        # ray-cast refine INSIDE the join condition: the broadcast hash join
+        # evaluates it while probing, so non-matching candidates never
+        # materialize rows carrying the polygon vertex arrays (measurably
+        # less memory traffic than join-then-filter at high core counts).
+        cond = (pts["__cell"] == poly_cells["__cell"]) & pip_expr(
+            pts[lon], pts[lat], poly_cells["__xs"], poly_cells["__ys"]
+        )
+        hit = (
+            pts.join(build, cond, "inner")
+            .select(*[pts[c] for c in points.columns],
+                    poly_cells["__pid"].alias(poly_id),
+                    *[poly_cells[c] for c in keep])
+        )
     else:
+        cand = pts.join(build, "__cell", "inner")
         inside = _pip_udf(F.col(lon), F.col(lat), F.col("__pid"), F.col("__xs"), F.col("__ys"))
-    hit = cand.filter(inside).drop("__xs", "__ys", "__cell").withColumnRenamed("__pid", poly_id)
+        hit = cand.filter(inside).drop("__xs", "__ys", "__cell").withColumnRenamed("__pid", poly_id)
     if how == "inner":
         return hit
     if how == "left":
