@@ -1,0 +1,56 @@
+"""Physical-plan shape pins: the 100 TB-critical properties must hold.
+
+- flagship PIP join: broadcast hash join, zero shuffle of the image stream
+- nearest-grid join ring-1: broadcast join for the candidate stage
+- parquet scans: predicate pushdown + column pruning reach the scan
+- whole-stage codegen present on the hot path
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geo_epic_spark import synth
+from geo_epic_spark.operators.spatial import pip_join
+from geo_epic_spark.plans.checks import (
+    codegen_stage_count,
+    has_broadcast_hash_join,
+    pushed_filters,
+    read_schemas,
+    shuffle_free,
+)
+
+
+def test_pip_join_is_broadcast_and_shuffle_free(spark):
+    imgs = synth.images_meta_df(spark, 1000).select("i", "cx", "cy")
+    flds = synth.fields_df(spark, 50).select("poly_id", "xs", "ys")
+    out = pip_join(imgs, flds, res=0.05, lon="cx", lat="cy")
+    assert has_broadcast_hash_join(out)
+    # the image stream must not shuffle: broadcast exchanges only
+    assert shuffle_free(out)
+    assert codegen_stage_count(out) >= 1
+
+
+def test_parquet_scan_pushdown_and_pruning(spark, tmp_path):
+    p = str(tmp_path / "t")
+    synth.images_meta_df(spark, 1000).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).filter(F.col("i") > 500).select("i", "cx")
+    pf = pushed_filters(df)
+    assert pf and any("i" in f and "500" in f for f in pf), pf
+    rs = read_schemas(df)
+    # only the two projected columns reach the scan
+    assert rs and "cx" in rs[0] and "caption" not in rs[0], rs
+
+
+def test_groupby_uses_partial_aggregation(spark):
+    # partial (map-side) aggregation: two HashAggregate nodes around the
+    # exchange — the shape that keeps 100 TB group-bys network-light
+    from geo_epic_spark.plans.checks import formatted_plan
+
+    df = (
+        synth.images_meta_df(spark, 1000)
+        .groupBy((F.col("i") % 10).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
