@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import pyspark.sql.functions as F  # noqa: E402
 
 from geo_epic_spark import synth  # noqa: E402
+from geo_epic_spark.images.udfs import decode_stats, full_images_df  # noqa: E402
 from geo_epic_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
 from geo_epic_spark.operators.similarity import cosine_topk  # noqa: E402
 from geo_epic_spark.operators.spatial import (  # noqa: E402
@@ -34,6 +35,7 @@ from geo_epic_spark.session import get_spark  # noqa: E402
 # bench fixture scales (spatial rows are synthesized — the engine's input
 # table per BASELINE.json; relational/text queries use the driver's sf dir)
 N_IMG = int(os.environ.get("BENCH_N_IMG", "1000000"))
+N_DECODE = int(os.environ.get("BENCH_N_DECODE", "4000"))
 WARM = os.environ.get("BENCH_WARM", "1") != "0"
 N_POLY = 2000
 GRID = (200, 320, 0.015625)
@@ -100,6 +102,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
                 )
             ),
             None,
+        ),
+        # payload axis: generate -> encode -> decode -> feature-extract over
+        # Arrow batches (images/sec throughput of the multimodal stage)
+        "image_decode": (
+            lambda: _count(
+                full_images_df(spark, N_DECODE)
+                .select("i", "fmt", decode_stats("bytes", "fmt").alias("s"))
+                .filter(F.col("s.mean_lum") >= 0)
+            ),
+            N_DECODE,
         ),
     }
     out = {}
