@@ -60,9 +60,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
             N_IMG,
         ),
         "nearest_grid": (
+            # max_ring=1: the bench grid covers the AOI at spacing == res, so
+            # ring-1 provably contains the nearest cell (J2 raster-sampling
+            # case) — single broadcast join + min_by, no escalation actions
             lambda: _count(
                 nearest_grid_join(
-                    imgs, grid, res=GRID[2], point_id="i", point_lon="cx", point_lat="cy"
+                    imgs, grid, res=GRID[2], point_id="i", point_lon="cx",
+                    point_lat="cy", max_ring=1,
                 )
             ),
             N_IMG,

@@ -224,6 +224,12 @@ def nearest_grid_join(
     (squared degrees for euclid_deg, km for haversine).
     """
     dist_fn = _dist2_deg if metric == "euclid_deg" else _haversine_km
+    # max_ring=1 is the "covered raster" fast path (J2 nearest-pixel
+    # sampling): when the grid spans the probe area at spacing == res, the
+    # 3x3 ring-1 block provably contains the nearest lattice point
+    # (|dx|,|dy| <= spacing/2 < res), so the guarantee check and the
+    # pending-work anti-join are skipped entirely — one broadcast join, one
+    # partial-aggregating min_by, no extra action.
     # guarantee radius in the distance's own units
     def guard(r: int) -> Column:
         if metric == "euclid_deg":
