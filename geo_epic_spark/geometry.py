@@ -67,7 +67,8 @@ def polygon_centroid(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
 def wkt_polygon(xs: np.ndarray, ys: np.ndarray) -> str:
     """WKT POLYGON text (ring closed), matching the reference's WKT usage
     for SDA point/polygon queries (`soil/fetch_usda.py:48`)."""
-    pts = [f"{x:.10g} {y:.10g}" for x, y in zip(xs, ys)]
+    # 17 significant digits: exact double round-trip (%.10g loses ~1e-9)
+    pts = [f"{x:.17g} {y:.17g}" for x, y in zip(xs, ys)]
     pts.append(pts[0])
     return "POLYGON ((" + ", ".join(pts) + "))"
 

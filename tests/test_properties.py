@@ -1,0 +1,123 @@
+"""Hypothesis property tests for the numeric kernels (no Spark session —
+these pin the invariants the distributed operators are built on)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geo_epic_spark import cells
+from geo_epic_spark.geometry import (
+    parse_wkt_polygon, points_in_polygon, polygon_area, wkt_polygon,
+)
+from geo_epic_spark.operators import phenology as ph
+
+LON = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+LAT = st.floats(min_value=-89.9, max_value=89.9, allow_nan=False)
+RES = st.sampled_from([0.01, 0.05, 0.125, 1.0])
+
+
+@given(LON, LAT, RES)
+@settings(max_examples=200, deadline=None)
+def test_cell_center_within_half_res(lon, lat, res):
+    cid = cells.np_cell_id(np.array([lon]), np.array([lat]), res)
+    clon, clat = cells.np_cell_center(cid, res)
+    assert abs(clon[0] - lon) <= res / 2 + 1e-9
+    assert abs(clat[0] - lat) <= res / 2 + 1e-9
+
+
+@given(LON, LAT, RES)
+@settings(max_examples=200, deadline=None)
+def test_cell_id_deterministic_and_neighbor_distinct(lon, lat, res):
+    a = cells.np_cell_id(np.array([lon]), np.array([lat]), res)[0]
+    b = cells.np_cell_id(np.array([lon]), np.array([lat]), res)[0]
+    assert a == b
+    # a point one full res away in lon is in a different cell
+    lon2 = lon + res * 1.5 if lon < 178 else lon - res * 1.5
+    c = cells.np_cell_id(np.array([lon2]), np.array([lat]), res)[0]
+    assert a != c
+
+
+def _winding_inside(px, py, xs, ys):
+    """Independent PIP oracle: winding-number algorithm (vs the engine's
+    ray cast)."""
+    wn = 0
+    n = len(xs)
+    for i in range(n):
+        x1, y1 = xs[i], ys[i]
+        x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+        if y1 <= py:
+            if y2 > py and (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0:
+                wn += 1
+        else:
+            if y2 <= py and (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0:
+                wn -= 1
+    return wn != 0
+
+
+@given(
+    st.lists(st.tuples(st.floats(-10, 10), st.floats(-10, 10)), min_size=3, max_size=8),
+    st.floats(-12, 12), st.floats(-12, 12),
+)
+@settings(max_examples=300, deadline=None)
+def test_raycast_matches_winding_number(pts, px, py):
+    # build a simple (star-shaped, non-degenerate) polygon around the centroid
+    cx = sum(p[0] for p in pts) / len(pts)
+    cy = sum(p[1] for p in pts) / len(pts)
+    ordered = sorted(pts, key=lambda p: math.atan2(p[1] - cy, p[0] - cx))
+    xs = np.array([p[0] for p in ordered])
+    ys = np.array([p[1] for p in ordered])
+    if abs(polygon_area(xs, ys)) < 1e-6:
+        return  # degenerate
+    # skip points on/near the boundary where the two conventions may differ
+    d = min(
+        abs((px - xs[i]) * (ys[(i + 1) % len(xs)] - ys[i])
+            - (py - ys[i]) * (xs[(i + 1) % len(xs)] - xs[i]))
+        for i in range(len(xs))
+    )
+    if d < 1e-6:
+        return
+    got = points_in_polygon(np.array([px]), np.array([py]), xs, ys)[0]
+    want = _winding_inside(px, py, xs, ys)
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.floats(-100, 100), st.floats(-100, 100)),
+                min_size=3, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_wkt_roundtrip(pts):
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    xs2, ys2 = parse_wkt_polygon(wkt_polygon(xs, ys))
+    np.testing.assert_allclose(xs2, xs, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(ys2, ys, rtol=0, atol=1e-9)
+
+
+@given(st.integers(min_value=0, max_value=3),
+       st.lists(st.floats(-5, 5, allow_nan=False), min_size=9, max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_savgol_polynomial_exactness_property(deg, coeffs_seed):
+    # polynomial of degree <= polyorder passes through unchanged
+    n = max(9, len(coeffs_seed))
+    x = np.arange(n, dtype=float)
+    c = [1.0, -0.3, 0.02, 0.001][: deg + 1]
+    y = sum(ci * x**i for i, ci in enumerate(c))
+    sm = ph.savgol_filter(np.asarray(y, dtype=float), 7, 3)
+    np.testing.assert_allclose(sm, y, atol=1e-6)
+
+
+@given(st.lists(st.floats(0, 10, allow_nan=False), min_size=5, max_size=50),
+       st.integers(min_value=1, max_value=10))
+@settings(max_examples=100, deadline=None)
+def test_find_peaks_are_local_maxima_and_distanced(vals, distance):
+    y = np.array(vals)
+    p = ph.find_peaks(y, distance=distance)
+    for idx in p:
+        assert 0 < idx < len(y) - 1
+        # a peak is >= its immediate neighbors (plateau midpoints allowed)
+        assert y[idx] >= y[idx - 1] and y[idx] >= y[idx + 1]
+    if len(p) > 1:
+        assert np.diff(p).min() >= distance
