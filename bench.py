@@ -66,7 +66,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
             lambda: _count(
                 nearest_grid_join(
                     imgs, grid, res=GRID[2], point_id="i", point_lon="cx",
-                    point_lat="cy", max_ring=1,
+                    point_lat="cy", max_ring=1, fallback="drop",
                 )
             ),
             N_IMG,

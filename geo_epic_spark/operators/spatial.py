@@ -208,6 +208,7 @@ def nearest_grid_join(
     max_ring: int = 8,
     broadcast_grid: bool = True,
     adaptive: bool = True,
+    fallback: str = "brute",
 ) -> DataFrame:
     """Assign each point its k nearest grid rows (BallTree replacement,
     `utils/raster_utils.py:16-30`; soil/weather assignment callers
@@ -222,6 +223,14 @@ def nearest_grid_join(
 
     Output: point columns + ``grid_id``, ``nn_rank`` (1..k), ``nn_dist``
     (squared degrees for euclid_deg, km for haversine).
+
+    fallback='brute' (default) matches BallTree semantics exactly: points
+    farther than ``max_ring`` rings from any grid cell are resolved by a
+    brute-force scan of the (broadcast) grid — the candidate set is the
+    whole grid, so *every* point gets its true k nearest regardless of
+    distance. fallback='drop' keeps only ring-resolved points (use with
+    max_ring=1 for the covered-raster fast path where the fallback branch
+    is provably empty and its plan weight is pure overhead).
     """
     dist_fn = _dist2_deg if metric == "euclid_deg" else _haversine_km
     # max_ring=1 is the "covered raster" fast path (J2 nearest-pixel
@@ -234,9 +243,18 @@ def nearest_grid_join(
     def guard(r: int) -> Column:
         if metric == "euclid_deg":
             return F.lit(float(r * res) ** 2)
-        # haversine: one degree of latitude ~ 110.574 km; a conservative lower
-        # bound on the km distance of anything outside the block.
-        return F.lit(r * res * 110.574 * 0.99)
+        # haversine lower bound for anything outside the (2r+1)^2 block:
+        # the escape axis is either latitude (>= r*res deg meridian,
+        # ~110.574 km/deg) or longitude (>= r*res deg along a parallel,
+        # ~111.32*cos(lat') km/deg, lat' up to |lat| + r*res). Take the
+        # smaller — using the meridian constant alone over-admits results at
+        # mid-latitudes where a closer cell can sit just outside the ring.
+        lat_abs = F.abs(F.col(point_lat)) + F.lit(float(r * res))
+        lon_km_per_deg = F.lit(111.32) * F.cos(F.radians(F.least(lat_abs, F.lit(89.9))))
+        return (
+            F.lit(float(r * res) * 0.99)
+            * F.least(F.lit(110.574), lon_km_per_deg)
+        )
 
     g = grid.select(
         F.col(grid_id).alias("__gid"),
@@ -345,6 +363,48 @@ def nearest_grid_join(
     out = results[0]
     for df in results[1:]:
         out = out.unionByName(df)
+    if fallback == "brute":
+        # BallTree-exact completion: points with no candidate within
+        # max_ring rings scan the whole (broadcast) grid. The branch is
+        # lazily empty when the rings resolved everything — its cost is one
+        # anti-join over the final pending set.
+        rest = pending.join(
+            results[-1].select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        ).drop("__pcell")
+        bcand = rest.crossJoin(
+            _maybe_broadcast(g.drop("__gcell"), broadcast_grid)
+        ).withColumn(
+            "__d",
+            dist_fn(F.col(point_lon), F.col(point_lat), F.col("__glon"), F.col("__glat")),
+        )
+        if k == 1:
+            bbest = bcand.groupBy(*[F.col(c) for c in point_cols]).agg(
+                F.min_by(
+                    F.struct(F.col("__gid"), F.col("__d")),
+                    F.struct(F.col("__d"), F.col("__gid")),
+                ).alias("__b")
+            )
+            btop = bbest.select(
+                *point_cols,
+                F.col("__b.__gid").alias("__gid"),
+                F.lit(1).alias("__rk"),
+                F.col("__b.__d").alias("__d"),
+            )
+        else:
+            bw = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+                F.col("__d").asc(), F.col("__gid").asc()
+            )
+            btop = bcand.withColumn("__rk", F.row_number().over(bw)).filter(
+                F.col("__rk") <= k
+            )
+        out = out.unionByName(
+            btop.select(
+                *point_cols,
+                F.col("__gid").alias(grid_id),
+                F.col("__rk").alias("nn_rank"),
+                F.col("__d").alias("nn_dist"),
+            )
+        )
     return out
 
 
