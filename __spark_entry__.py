@@ -1060,6 +1060,24 @@ def q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash-based dedup grouping (SURVEY §2.10; skip-existing identity
+    analog): planted duplicate payloads (pixel seed i % 90) -> groupBy phash,
+    keep lowest image_id. Payload-derived hashes are not SQL-computable ->
+    rows-only; exact-group invariant in pytest."""
+    from geo_epic_spark.images.udfs import full_images_df
+
+    df = full_images_df(spark, 270, seed_mod=90)
+    return (
+        df.groupBy("phash")
+        .agg(
+            F.min("image_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
 def q_knn_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=3 nearest-grid join (J1 with k>1), DuckDB-oracled against a brute
     cross join with the same (distance, grid_id) tie order."""
@@ -1136,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_near_dup": q_embedding_near_dup,
+        "q_phash_dedup": q_phash_dedup,
         "q_image_invariants": q_image_invariants,
     }
 

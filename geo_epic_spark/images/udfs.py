@@ -39,12 +39,16 @@ IMAGE_SCHEMA = StructType(
 )
 
 
-def full_images_df(spark: SparkSession, n: int) -> DataFrame:
+def full_images_df(spark: SparkSession, n: int, seed_mod: int | None = None) -> DataFrame:
     """The BASELINE.json input table, payload included:
     (image_id, bytes, w, h, fmt, caption, phash) + tile-bound columns.
 
     Distributed generation: meta columns are pure Column arithmetic
     (synth.images_meta_df); bytes/phash are added by one mapInPandas stage.
+
+    ``seed_mod``: seed the pixel generator with ``i % seed_mod`` to plant
+    exact duplicate payloads for dedup tests — (w, h, fmt) have period 90 in
+    ``i``, so any multiple of 90 makes row i and i+seed_mod byte-identical.
     """
     meta = images_meta_df(spark, n)
     out_schema = StructType(
@@ -56,7 +60,8 @@ def full_images_df(spark: SparkSession, n: int) -> DataFrame:
         for pdf in batches:
             blobs, hashes = [], []
             for i, w, h, fmt in zip(pdf["i"], pdf["w"], pdf["h"], pdf["fmt"]):
-                arr = codec.synth_pixels(int(i), int(w), int(h))
+                seed = int(i) % seed_mod if seed_mod else int(i)
+                arr = codec.synth_pixels(seed, int(w), int(h))
                 blobs.append(codec.encode_image(arr, fmt))
                 hashes.append(codec.phash64(codec.decode_image(blobs[-1], fmt)))
             pdf = pdf.copy()

@@ -63,3 +63,16 @@ def test_unsupported_fmt_raises():
 
     with pytest.raises(NotImplementedError):
         codec.decode_image(b"xxxx", "jpeg-real")
+
+
+def test_phash_dedup_planted_duplicates(spark):
+    """seed_mod=90 plants byte-identical payload copies; phash groups must
+    collapse exactly to the 90 distinct seeds with 3 copies each."""
+    from pyspark.sql import functions as F
+
+    from geo_epic_spark.images.udfs import full_images_df
+
+    df = full_images_df(spark, 270, seed_mod=90)
+    groups = df.groupBy("phash").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    assert len(groups) == 90
+    assert (groups["n"] == 3).all()
