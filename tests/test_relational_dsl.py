@@ -108,3 +108,23 @@ def test_validators_dly_ranges(spark):
         | (F.col("ws").isNotNull() & ~F.col("ws").between(0, 900))
     ).count()
     assert bad == 0
+
+
+def test_apply_derived_formula_chain(spark):
+    """gee/core.py eval-DSL parity: formulas are SQL strings with {col}
+    placeholders; later formulas can use earlier derived names."""
+    import math
+
+    import pandas as pd
+
+    from geo_epic_spark.functions.derived import apply_derived, compile_formula
+
+    assert compile_formula("{vp}/(611*exp({tmax}))") == "`vp`/(611*exp(`tmax`))"
+    df = spark.createDataFrame(pd.DataFrame({"vp": [1000.0], "tmax": [25.0], "tmin": [10.0]}))
+    out = apply_derived(df, {
+        "es": "611*exp((17.27*{tmax})/({tmax}+237.3))",
+        "rh": "{vp}/{es}",
+    }).toPandas().iloc[0]
+    es = 611 * math.exp((17.27 * 25.0) / (25.0 + 237.3))
+    assert abs(out["es"] - es) < 1e-6
+    assert abs(out["rh"] - 1000.0 / es) < 1e-9
