@@ -55,3 +55,32 @@ def test_sql_emitter_matches():
     ).fetchone()[0]
     want = int(cells.np_cell_id(np.array([-97.5]), np.array([41.2]), 0.00901)[0])
     assert got == want
+
+
+def test_tile_bounds_and_covering(spark):
+    """§2.10 derived placement: deterministic, inside the AOI, covering set
+    contains the center cell and matches the numpy covering."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geo_epic_spark import cells as C
+    from geo_epic_spark.images.tiles import cells_for_bounds, tile_bounds, tile_center
+
+    df = spark.createDataFrame(
+        [(f"img{i:012d}", 32 * (1 + i % 3), 64) for i in range(50)],
+        "image_id string, w int, h int",
+    )
+    res = 0.01
+    b = tile_center(cells_for_bounds(tile_bounds(df), res))
+    p = b.toPandas()
+    # deterministic: same ids -> same bounds
+    p2 = tile_bounds(df).toPandas().sort_values("image_id").reset_index(drop=True)
+    p1 = p.sort_values("image_id").reset_index(drop=True)
+    np.testing.assert_allclose(p1["lon_min"], p2["lon_min"])
+    assert (p["lon_min"] >= -100.0).all() and (p["lon_max"] <= -94.9).all()
+    assert (p["lat_min"] >= 40.0).all() and (p["lat_max"] <= 43.2).all()
+    for _, r in p.iterrows():
+        center_cell = C.np_cell_id(
+            np.array([r["cx"]]), np.array([r["cy"]]), res
+        )[0]
+        assert center_cell in set(r["cell_ids"])
