@@ -173,6 +173,50 @@ def pip_join(
     raise ValueError(f"how={how!r} not supported (inner|left)")
 
 
+def bbox_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    res: float = cells.RES_1KM * 4,
+    lon: str = "lon",
+    lat: str = "lat",
+    box_id: str = "poly_id",
+    x0: str = "x0",
+    y0: str = "y0",
+    x1: str = "x1",
+    y1: str = "y1",
+    broadcast_boxes: bool = True,
+) -> DataFrame:
+    """Axis-aligned rectangle containment join (reference analog: bbox clip,
+    `utils/crop_csb.py:23-35`; SURVEY P6). Semantically pip_join for
+    rectangles, but the refine is four comparisons — fully inside
+    whole-stage codegen, ~10x the general ray-cast's per-candidate speed.
+    Use for bounding-box layers (tiles, footprints, clip regions); fall back
+    to pip_join for true polygons.
+
+    Half-open [x0, x1) × [y0, y1) containment mirrors pip_join's half-open
+    edge rule so rectangles tile without double-counting boundary points.
+    """
+    box_cells = boxes.select(
+        F.col(box_id).alias("__pid"),
+        F.col(x0).alias("__x0"), F.col(y0).alias("__y0"),
+        F.col(x1).alias("__x1"), F.col(y1).alias("__y1"),
+        F.explode(
+            cells.cover_bbox(F.col(x0), F.col(y0), F.col(x1), F.col(y1), res)
+        ).alias("__cell"),
+    )
+    pts = points.withColumn("__cell", cells.cell_id(F.col(lon), F.col(lat), res))
+    build = _maybe_broadcast(box_cells, broadcast_boxes)
+    cond = (
+        (pts["__cell"] == box_cells["__cell"])
+        & (pts[lon] >= box_cells["__x0"]) & (pts[lon] < box_cells["__x1"])
+        & (pts[lat] >= box_cells["__y0"]) & (pts[lat] < box_cells["__y1"])
+    )
+    return pts.join(build, cond, "inner").select(
+        *[pts[c] for c in points.columns],
+        box_cells["__pid"].alias(box_id),
+    )
+
+
 # ---------------------------------------------------------------------------
 # nearest-grid (kNN) join — replaces BallTree find_nearest
 # ---------------------------------------------------------------------------

@@ -60,3 +60,18 @@ def test_nearest_grid_haversine_matches_numpy_oracle(spark):
         order = np.lexsort((g["grid_id"].to_numpy(), d))
         want.append(int(g["grid_id"].to_numpy()[order[0]]))
     assert got["grid_id"].tolist() == want
+
+
+def test_bbox_join_matches_pip_join_on_rectangles(spark):
+    """bbox_join is the codegen fast path for axis-aligned layers; must agree
+    with the general ray-cast on the rectangle fixtures."""
+    from geo_epic_spark.operators.spatial import bbox_join
+
+    imgs = synth.images_meta_df(spark, 30000).select("i", "cx", "cy")
+    flds = synth.fields_df(spark, 300)
+    a = pip_join(imgs, flds.select("poly_id", "xs", "ys"),
+                 res=0.05, lon="cx", lat="cy")
+    b = bbox_join(imgs, flds.select("poly_id", "x0", "y0", "x1", "y1"),
+                  res=0.05, lon="cx", lat="cy")
+    assert a.count() == b.count()
+    assert a.select("i", "poly_id").exceptAll(b.select("i", "poly_id")).count() == 0
