@@ -500,15 +500,20 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
-    return _r6(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc"])
+    # money sums reach 1e9 at sf0.1; double summation-order drift is ~1e-5,
+    # so sums compare at 2 decimals (averages stay at 6)
+    out = _r6(out, ["avg_qty", "avg_disc"])
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out = out.withColumn(c, F.round(F.col(c), 2))
+    return out
 
 
 def _sql_pricing_summary() -> str:
     return """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 6) AS sum_qty,
-           round(sum(l_extendedprice), 6) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_discount), 6) AS avg_disc,
            count(*) AS count_order
@@ -964,6 +969,86 @@ def _sql_envelope_clip() -> str:
     """
 
 
+def q_lai_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end profile pipeline (`utils/profile.py:30-76,40-51,430-440`):
+    sparse 8-day observations -> daily reindex + linear interpolation ->
+    centered rolling median -> per-month-day envelope clip. Composes W4, W3
+    and W9 in one DAG, oracled as the equivalent chained SQL."""
+    from geo_epic_spark.operators.timeseries import (
+        envelope_clip, interpolate_daily, rolling_median,
+    )
+
+    w = synth.weather_daily_df(spark, W_CELLS, W_DAYS)
+    obs = w.filter(F.dayofmonth("date") % 8 == 1).select("cell_id", "date", "tmax")
+    interp = interpolate_daily(obs, "tmax", by=["cell_id"])
+    rmed = rolling_median(interp, "tmax_interp", order="date", by=["cell_id"],
+                          half_window=2)
+    env = (
+        rmed.groupBy(F.date_format("date", "MM-dd").alias("md"))
+        .agg((F.min("tmax_interp_rmed") + 1.0).alias("lo"),
+             (F.max("tmax_interp_rmed") - 1.0).alias("hi"))
+    )
+    out = envelope_clip(
+        rmed.withColumn("md", F.date_format("date", "MM-dd")),
+        env, "tmax_interp_rmed", on=["md"],
+    )
+    return out.select(
+        "cell_id", F.date_format("date", "yyyy-MM-dd").alias("d"),
+        F.round("tmax_interp_rmed_clipped", 6).alias("profile"),
+    )
+
+
+def _sql_lai_profile() -> str:
+    return f"""
+    WITH w AS ({synth.weather_daily_sql(W_CELLS, W_DAYS)}),
+         obs AS (SELECT cell_id, date, tmax FROM w WHERE day(date) % 8 = 1),
+         spans AS (SELECT cell_id, min(date) AS d0, max(date) AS d1 FROM obs GROUP BY 1),
+         spine AS (
+           SELECT cell_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS date
+           FROM spans
+         ),
+         filled AS (
+           SELECT s.cell_id, s.date, o.tmax
+           FROM spine s LEFT JOIN obs o ON s.cell_id = o.cell_id AND s.date = o.date
+         ),
+         f2 AS (
+           SELECT cell_id, date, tmax,
+             last_value(tmax IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN tmax IS NOT NULL THEN date END IGNORE NULLS) OVER wb AS pd,
+             first_value(tmax IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN tmax IS NOT NULL THEN date END IGNORE NULLS) OVER wf AS nd
+           FROM filled
+           WINDOW wb AS (PARTITION BY cell_id ORDER BY date
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wf AS (PARTITION BY cell_id ORDER BY date
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         ),
+         interp AS (
+           SELECT cell_id, date,
+             CASE WHEN tmax IS NOT NULL THEN tmax
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (date_diff('day', pd, date) * 1.0
+                                         / date_diff('day', pd, nd)) END AS v
+           FROM f2
+         ),
+         rmed AS (
+           SELECT cell_id, date,
+             median(v) OVER (PARTITION BY cell_id ORDER BY date
+                             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS vr
+           FROM interp
+         ),
+         env AS (
+           SELECT strftime(date, '%m-%d') AS md,
+                  min(vr) + 1.0 AS lo, max(vr) - 1.0 AS hi
+           FROM rmed GROUP BY 1
+         )
+    SELECT cell_id, strftime(rmed.date, '%Y-%m-%d') AS d,
+           round(greatest(least(vr, hi), lo), 6) AS profile
+    FROM rmed JOIN env ON strftime(rmed.date, '%m-%d') = env.md
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: most distinct stopword hits wins, ties to the
     lexicographically larger code, 'und' when nothing hits."""
@@ -1145,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_validate_dly": q_validate_dly,
         "q_outer_coalesce": q_outer_coalesce,
         "q_envelope_clip": q_envelope_clip,
+        "q_lai_profile": q_lai_profile,
         "q_lang_id": q_lang_id,
         # rows-only (non-SQL-expressible)
         "q_ivf_topk": q_ivf_topk,
@@ -1188,6 +1274,7 @@ def oracle_sql() -> dict[str, str]:
         "q_validate_dly": _sql_validate_dly(),
         "q_outer_coalesce": _sql_outer_coalesce(),
         "q_envelope_clip": _sql_envelope_clip(),
+        "q_lai_profile": _sql_lai_profile(),
         "q_lang_id": _sql_lang_id(),
         "q_cosine_topk": _sql_cosine_topk(),
     }
