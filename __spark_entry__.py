@@ -319,6 +319,56 @@ def _sql_heat_units() -> str:
     """
 
 
+_OPS_N = 400
+
+
+def q_pair_seasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of season pairing (J10 agricultural form): each plantation row
+    pairs with the FIRST harvest of the same crop strictly after it
+    (`io/opc.py:276-290`)."""
+    from geo_epic_spark.operators.timeseries import pair_seasons
+
+    t = F.col("id")
+    ops = spark.range(_OPS_N).select(
+        (t / 20).cast("long").alias("sched"),
+        (F.lit(5) + t % 3).alias("crop"),
+        F.when(t % 2 == 0, "plant").otherwise("harvest").alias("code"),
+        F.date_add(F.lit("2019-01-01").cast("date"),
+                   (synth.u_col(t, synth.M[0], 53) * 700).cast("int")).alias("date"),
+    )
+    out = pair_seasons(ops, by=["sched"])
+    return out.select(
+        "sched", "crop",
+        F.date_format("plantation_date", "yyyy-MM-dd").alias("plantation_date"),
+        F.date_format("harvest_date", "yyyy-MM-dd").alias("harvest_date"),
+    )
+
+
+def _sql_pair_seasons() -> str:
+    u = synth.u_sql("id", synth.M[0], 53)
+    return f"""
+    WITH ops AS (
+      SELECT id // 20 AS sched,
+             5 + id % 3 AS crop,
+             CASE WHEN id % 2 = 0 THEN 'plant' ELSE 'harvest' END AS code,
+             DATE '2019-01-01' + CAST(floor({u} * 700) AS INTEGER) AS date
+      FROM (SELECT CAST(range AS BIGINT) AS id FROM range({_OPS_N}))
+    ),
+    p AS (SELECT sched, crop, date AS pd FROM ops WHERE code = 'plant'),
+    h AS (SELECT sched, crop, date AS hd FROM ops WHERE code = 'harvest'),
+    j AS (
+      SELECT p.sched, p.crop, p.pd, h.hd,
+             row_number() OVER (PARTITION BY p.sched, p.crop, p.pd
+                                ORDER BY h.hd) AS rn
+      FROM p JOIN h ON p.sched = h.sched AND p.crop = h.crop AND h.hd > p.pd
+    )
+    SELECT sched, crop,
+           strftime(pd, '%Y-%m-%d') AS plantation_date,
+           strftime(hd, '%Y-%m-%d') AS harvest_date
+    FROM j WHERE rn = 1
+    """
+
+
 def q_missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-coverage validation anti-join (J8): `DLY.validate`
     (`io/inputs.py:230-256`) missing-day detection."""
@@ -1205,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weather time-series
         "q_monthly_normals": q_monthly_normals,
         "q_heat_units": q_heat_units,
+        "q_pair_seasons": q_pair_seasons,
         "q_missing_dates": q_missing_dates,
         "q_interpolate": q_interpolate,
         # relational soil pipeline
@@ -1253,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rasterize": _sql_rasterize(),
         "q_monthly_normals": _sql_monthly_normals(),
         "q_heat_units": _sql_heat_units(),
+        "q_pair_seasons": _sql_pair_seasons(),
         "q_missing_dates": _sql_missing_dates(),
         "q_interpolate": _sql_interpolate(),
         "q_dominant_component": _sql_dominant_component(),
