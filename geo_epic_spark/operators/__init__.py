@@ -1,6 +1,31 @@
+from geo_epic_spark.operators.dedup import (  # noqa: F401
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from geo_epic_spark.operators.phenology import (  # noqa: F401
+    count_seasons,
+    fit_double_logistic,
+    fit_harmonic,
+    smooth_series,
+)
+from geo_epic_spark.operators.similarity import cosine_topk, ivf_topk  # noqa: F401
 from geo_epic_spark.operators.spatial import (  # noqa: F401
+    bbox_join,
     nearest_grid_join,
     pip_join,
     rasterize,
+    vectorize,
     zonal_stats,
+)
+from geo_epic_spark.operators.timeseries import (  # noqa: F401
+    envelope_clip,
+    heat_units,
+    interpolate_daily,
+    missing_dates,
+    monthly_normals,
+    pair_seasons,
+    rolling_median,
 )
