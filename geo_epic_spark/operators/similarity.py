@@ -50,9 +50,16 @@ def kmeans_centroids(
     vectors: DataFrame, c: int = 16, vec: str = "embedding", iters: int = 3
 ) -> list[list[float]]:
     """Tiny driver-side Lloyd iteration on a sample to seed IVF coarse
-    centroids (the index build step; at scale run once and persist)."""
+    centroids (the index build step; at scale run once and persist).
+
+    Sampling uses a seeded Bernoulli ``sample()`` so every partition
+    contributes — ``limit(n)`` would take the first partitions only, a
+    biased (often single-file) sample at 100 TB."""
+    n = vectors.count()
+    frac = min(1.0, 2.0 * 4096.0 / max(n, 1))  # 2x oversample, then cap at 4096
     sample = np.array(
-        vectors.select(vec).limit(4096).toPandas()[vec].tolist(), dtype=np.float64
+        vectors.select(vec).sample(fraction=frac, seed=7).limit(4096).toPandas()[vec].tolist(),
+        dtype=np.float64,
     )
     rng = np.random.Generator(np.random.PCG64(7))
     cents = sample[rng.choice(len(sample), size=min(c, len(sample)), replace=False)]

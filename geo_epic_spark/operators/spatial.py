@@ -339,6 +339,14 @@ def nearest_grid_join(
             dist_fn(F.col(point_lon), F.col(point_lat), F.col("__glon"), F.col("__glat")),
         )
         final_ring = r >= max_ring
+        # At the final ring, keeping unverified candidates is only sound for
+        # fallback='drop' (documented best-within-block semantics). For
+        # fallback='brute' the guard check still applies: a point whose best
+        # in-block candidate sits at >= guard(max_ring) may have a closer
+        # grid point just outside the block (diagonal corner ~1.41*r*res),
+        # and a k>1 point with < k in-block candidates is short — both must
+        # fall through to the brute pass for BallTree-exact results.
+        keep_unverified = final_ring and fallback != "brute"
         if k == 1:
             # k=1 fast path: min_by aggregation gets map-side partial
             # aggregation (one surviving row per point per input partition)
@@ -355,7 +363,7 @@ def nearest_grid_join(
                 F.lit(1).alias("__rk"),
                 F.col("__b.__d").alias("__d"),
             )
-            done = topk if final_ring else topk.filter(F.col("__d") < guard(r))
+            done = topk if keep_unverified else topk.filter(F.col("__d") < guard(r))
         else:
             w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
                 F.col("__d").asc(), F.col("__gid").asc()
@@ -364,7 +372,7 @@ def nearest_grid_join(
                 cand.withColumn("__rk", F.row_number().over(w))
                 .filter(F.col("__rk") <= k)
             )
-            if final_ring:
+            if keep_unverified:
                 done = topk
             else:
                 # complete iff we found k candidates AND the worst is inside

@@ -9,7 +9,7 @@ scan that stays in whole-stage codegen; no Python ever touches the rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # (name, width, type) layouts mirrored from the reference loaders
@@ -32,13 +32,21 @@ def read_fwf(
     skiprows: int = 0,
 ) -> DataFrame:
     """Distributed fixed-width read: one substring+cast per column, all
-    JVM-side. ``skiprows`` drops header lines (OPC has 2) via a monotonic id
-    filter — valid because text files preserve line order per file."""
+    JVM-side. ``skiprows`` drops the first N header lines of EVERY input file
+    (OPC has 2): line numbers are computed per file via a window on
+    ``input_file_name`` ordered by ``monotonically_increasing_id`` (which
+    preserves each file's line order — split/partition indexes follow file
+    offset order). A bare global-id filter would only strip the first file's
+    headers when ``path`` is a directory/glob of OPC files. skiprows=0 stays
+    a pure codegen scan (no shuffle)."""
     df = spark.read.text(path)
     if skiprows:
+        w = Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
         df = (
-            df.withColumn("__rn", F.monotonically_increasing_id())
-            .filter(F.col("__rn") >= skiprows)
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > skiprows)
             .drop("__rn")
         )
     cols = []

@@ -146,3 +146,36 @@ def test_text_features(spark, docs):
     assert got.loc[1, "n_tokens"] == len(DOCS[0][1].split())
     assert got.loc[1, "fingerprint"] == got.loc[5, "fingerprint"]
     assert 0.0 <= got.quality.min() and got.quality.max() <= 1.0
+
+
+def test_minhash_default_banding_recall(spark):
+    """Default (threshold-derived) band config must recall >= 95% of planted
+    J >= 0.5 duplicates — the textbook 16x4 config silently misses ~34% at
+    its own threshold (round-1 verdict defect). Deterministic: hash-derived
+    permutations, fixed corpus."""
+    from geo_epic_spark.operators.dedup import bands_for_threshold
+
+    # rows=2 (bands=32) S-curve: 1-(1-0.5^2)^32 ~ 0.99990 at J=0.5
+    assert bands_for_threshold(0.5, 64) == 32
+    assert bands_for_threshold(0.125, 64) == 64
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    vocab = [f"w{i:03d}" for i in range(400)]
+    base = [" ".join(rng.choice(vocab, size=40)) for _ in range(30)]
+    docs_rows, planted = [], []
+    for i, t in enumerate(base):
+        docs_rows.append((2 * i, t))
+        # mutate ~15% of words -> J comfortably >= 0.5 on 3-gram shingles
+        w = t.split()
+        idx = rng.choice(len(w), size=3, replace=False)
+        for j in idx:
+            w[j] = str(rng.choice(vocab))
+        docs_rows.append((2 * i + 1, " ".join(w)))
+        if _jaccard(t, " ".join(w)) >= 0.5:
+            planted.append((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    got = minhash_lsh_pairs(df, threshold=0.5).toPandas()  # default bands
+    pairs = {(int(r.id_a), int(r.id_b)) for r in got.itertuples()}
+    found = sum(1 for p in planted if p in pairs)
+    assert len(planted) >= 20  # the fixture really plants enough positives
+    assert found / len(planted) >= 0.95, (found, len(planted))

@@ -75,3 +75,45 @@ def test_bbox_join_matches_pip_join_on_rectangles(spark):
                   res=0.05, lon="cx", lat="cy")
     assert a.count() == b.count()
     assert a.select("i", "poly_id").exceptAll(b.select("i", "poly_id")).count() == 0
+
+
+def test_brute_fallback_guard_corner(spark):
+    """fallback='brute' must re-resolve points whose final-ring best candidate
+    is OUTSIDE the guard radius (a closer grid point can sit just beyond the
+    block) and k>1 points with < k in-block candidates (round-2 advisor
+    finding). Sparse 1-D lattice: point at x=1.9 sees only x=0 in its ring-1
+    block (d=1.9 >= guard 1.0) while the true nearest x=3.1 lies outside."""
+    res = 1.0
+    grid = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 3.1, 0.0), (2, 7.3, 0.0)],
+        "grid_id long, lon double, lat double",
+    )
+    pts = spark.createDataFrame(
+        [(0, 1.9, 0.0), (1, 3.0, 0.0), (2, 5.4, 0.0), (3, 20.0, 0.0)],
+        "i long, cx double, cy double",
+    )
+    got = (
+        nearest_grid_join(
+            pts, grid, res=res, point_id="i", point_lon="cx", point_lat="cy",
+            max_ring=1, fallback="brute",
+        )
+        .select("i", "grid_id")
+        .toPandas()
+        .set_index("i")["grid_id"]
+        .to_dict()
+    )
+    # numpy oracle: true nearest by (distance, grid_id)
+    g = grid.toPandas()
+    p = pts.toPandas()
+    for _, r in p.iterrows():
+        d = (g["lon"] - r["cx"]) ** 2 + (g["lat"] - r["cy"]) ** 2
+        order = np.lexsort((g["grid_id"].to_numpy(), d.to_numpy()))
+        assert got[r["i"]] == g["grid_id"].iloc[order[0]], (r["i"], got)
+    # k=3 over a 3-point grid: every point must get exactly 3 ranked rows
+    # even though its ring-1 block holds at most one candidate
+    got3 = nearest_grid_join(
+        pts, grid, res=res, k=3, point_id="i", point_lon="cx", point_lat="cy",
+        max_ring=1, fallback="brute",
+    )
+    counts = got3.groupBy("i").count().toPandas()
+    assert counts["count"].tolist() == [3, 3, 3, 3]

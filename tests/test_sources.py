@@ -72,3 +72,22 @@ def test_tableio_parquet_fallback_partition_overwrite(spark, tmp_path):
     got = io.read("t").toPandas().sort_values("v")
     assert got[got["p"] == "b"]["v"].tolist() == [3]
     assert got[got["p"] == "a"]["v"].tolist() == [9]
+
+
+def test_read_fwf_skiprows_multifile(spark, tmp_path):
+    """Headers must be dropped per FILE, not just for the first file of a
+    directory read (round-2 advisor finding: a global monotonic-id filter
+    only strips the first partition's lines, so later files' header rows
+    survive whenever their first field casts to int)."""
+    d = tmp_path / "opcdir"
+    d.mkdir()
+    body_a = "  1  3 15  100    1    2    0" + "    1.50" * 8
+    body_b = "  2  4 16  200    1    2    0" + "    2.50" * 8
+    # header lines whose first 3 chars parse as int — the poison case
+    hdr = "999 CROP ROTATION SCHEDULE\n  7 operations follow\n"
+    (d / "a.OPC").write_text(hdr + body_a + "\n")
+    (d / "b.OPC").write_text(hdr + body_b + "\n")
+    df = read_fwf(spark, str(d), OPC_LAYOUT, skiprows=2).toPandas().sort_values("Yid")
+    assert len(df) == 2, df
+    assert df["Yid"].tolist() == [1, 2]
+    assert df["CODE"].tolist() == [100, 200]
