@@ -144,6 +144,31 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     raise NotImplementedError(f"fmt {fmt!r}: real JPEG needs libjpeg/PIL (absent here)")
 
 
+# --- geometry ---------------------------------------------------------------
+
+def bilinear_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Pure-numpy separable bilinear resize of an (h, w, c) uint8 image,
+    half-pixel-center convention (src = (dst + 0.5) * in/out - 0.5, edges
+    clamped — the PIL/OpenCV default). Exact on per-axis linear gradients,
+    which is what the unit test pins."""
+    a = arr.astype(np.float64)
+    h, w = a.shape[:2]
+    x = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = np.clip(x - x0, 0.0, 1.0)
+    fy = np.clip(y - y0, 0.0, 1.0)
+    rows = a[y0] * (1.0 - fy)[:, None, None] + a[y1] * fy[:, None, None]
+    out = (
+        rows[:, x0] * (1.0 - fx)[None, :, None]
+        + rows[:, x1] * fx[None, :, None]
+    )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 # --- metrics ----------------------------------------------------------------
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

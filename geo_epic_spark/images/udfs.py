@@ -116,16 +116,31 @@ def psnr_vs_regen(data: pd.Series, fmt: pd.Series, i: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def resize_stub(df: DataFrame, target: int = 224) -> DataFrame:
-    """Resize/frame-sample stage STUB: the interpolation kernel needs an image
-    library absent from this container. The Spark plumbing (binary in/out
-    mapInPandas, schema, batching) is real; the kernel raises.
+def resize_images(df: DataFrame, target: int = 224) -> DataFrame:
+    """Resize stage of a multimodal pipeline: decode -> pure-numpy bilinear
+    resize to target x target -> re-encode (lossless png at the new size) ->
+    recompute phash. Arrow-batched mapInPandas; per-image numpy inner loop is
+    inherent to a per-image kernel. Input needs (bytes, fmt, w, h); those
+    columns (and phash when present) are rewritten, all others pass through.
     """
+    has_phash = "phash" in df.columns
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "resize kernel requires PIL/opencv (not in container); "
-            "plumbing is tested via decode_stats instead"
-        )
+        for pdf in batches:
+            blobs, hashes = [], []
+            for blob, f in zip(pdf["bytes"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(blob), f)
+                small = codec.bilinear_resize(arr, target, target)
+                blobs.append(codec.encode_image(small, "png"))
+                if has_phash:
+                    hashes.append(codec.phash64(small))
+            pdf = pdf.copy()
+            pdf["bytes"] = blobs
+            pdf["fmt"] = "png"
+            pdf["w"] = np.int32(target)
+            pdf["h"] = np.int32(target)
+            if has_phash:
+                pdf["phash"] = np.array(hashes, dtype=np.int64)
+            yield pdf
 
     return df.mapInPandas(_resize, schema=df.schema)

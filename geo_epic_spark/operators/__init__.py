@@ -7,6 +7,7 @@ from geo_epic_spark.operators.dedup import (  # noqa: F401
 )
 from geo_epic_spark.operators.phenology import (  # noqa: F401
     count_seasons,
+    fit_asym_gaussian,
     fit_double_logistic,
     fit_harmonic,
     smooth_series,

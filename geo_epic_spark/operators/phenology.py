@@ -216,6 +216,98 @@ def phenology_dates(p: np.ndarray) -> tuple[int, int]:
     return emergence, harvest
 
 
+_ERF = np.vectorize(math.erf, otypes=[np.float64])
+_SQRT2PI = math.sqrt(2.0 * math.pi)
+
+
+def asym_gaussian(x: np.ndarray, amplitude, center, sigma, alpha) -> np.ndarray:
+    """Skew-normal shape A * phi(z) * Phi(alpha*z), z = (x-center)/sigma —
+    the reference's asymmetric-Gaussian vegetation model
+    (`opc/AssymetricGaussian.py:11-14`). phi/Phi are the standard normal
+    pdf/cdf, built here from libm erf (scipy-free)."""
+    z = (np.asarray(x, dtype=np.float64) - center) / sigma
+    pdf = np.exp(-0.5 * z * z) / _SQRT2PI
+    cdf = 0.5 * (1.0 + _ERF(alpha * z / math.sqrt(2.0)))
+    return amplitude * pdf * cdf
+
+
+_AG_INIT = np.array([1.0, 180.0, 30.0, 0.0])
+_AG_LO = np.array([0.0, 0.0, 1e-6, -5.0])
+_AG_HI = np.array([10.0, 365.0, 100.0, 5.0])
+
+
+def fit_asym_gaussian_np(x: np.ndarray, y: np.ndarray, n_iter: int = 80,
+                         f_scale: float = 0.5) -> np.ndarray:
+    """Bounded Gauss-Newton fit of the asymmetric Gaussian with a Cauchy
+    robust loss (IRLS weights 1/(1+(r/f)^2)), mirroring the reference's
+    least_squares(loss='cauchy', f_scale=0.5) call
+    (`opc/AssymetricGaussian.py:36-41`). Deterministic: fixed init
+    (1, 180, 30, 0), fixed iteration budget, numeric jacobian."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    p = _AG_INIT.copy()
+
+    def resid(p):
+        return asym_gaussian(x, *p) - y
+
+    def cost(r):
+        # cauchy rho: f^2 * log(1 + (r/f)^2)
+        return float(np.sum(f_scale ** 2 * np.log1p((r / f_scale) ** 2)))
+
+    lam = 1e-3
+    r = resid(p)
+    c = cost(r)
+    for _ in range(n_iter):
+        wgt = 1.0 / (1.0 + (r / f_scale) ** 2)  # IRLS cauchy weights
+        jac = np.empty((len(x), 4))
+        for j in range(4):
+            dp = np.zeros(4)
+            dp[j] = max(1e-6, 1e-6 * abs(p[j]))
+            jac[:, j] = (resid(p + dp) - r) / dp[j]
+        jw = jac * wgt[:, None]
+        g = jw.T @ r
+        h = jw.T @ jac
+        try:
+            step = np.linalg.solve(h + lam * np.diag(np.diag(h) + 1e-12), -g)
+        except np.linalg.LinAlgError:
+            break
+        p_new = np.clip(p + step, _AG_LO, _AG_HI)
+        r_new = resid(p_new)
+        c_new = cost(r_new)
+        if c_new < c:
+            p, r, c = p_new, r_new, c_new
+            lam = max(lam * 0.5, 1e-9)
+            if abs(step).max() < 1e-10:
+                break
+        else:
+            lam *= 4.0
+            if lam > 1e9:
+                break
+    return p
+
+
+def asym_gaussian_dates(p: np.ndarray) -> tuple[int, int]:
+    """Emergence/harvest DOY: first peak / last valley of the second
+    derivative over DOY 0..364, with the reference's center±sigma fallback
+    (`opc/AssymetricGaussian.py:46-62`). The second derivative is evaluated
+    numerically (central differences on a 0.5-day grid) from the closed-form
+    model — the reference's hand-derived n=2 formula drops an alpha^3 term,
+    so matching it symbolically would reproduce the slip, not the curve."""
+    amplitude, center, sigma, alpha = p
+    doy = np.arange(0, 365, dtype=np.float64)
+    hgrid = 0.5
+    fine = np.arange(-1.0, 366.0, hgrid)
+    f = asym_gaussian(fine, *p)
+    d2 = (f[2:] - 2.0 * f[1:-1] + f[:-2]) / (hgrid * hgrid)
+    # sample the 2nd derivative at integer DOYs (fine[1:-1] = -0.5..365.5)
+    at_doy = d2[np.searchsorted(fine[1:-1], doy)]
+    peaks = find_peaks(at_doy)
+    valleys = find_peaks(-at_doy)
+    if len(peaks) and len(valleys):
+        return int(peaks[0]), int(valleys[-1])
+    return max(0, int(center - sigma)), min(364, int(center + sigma))
+
+
 def fit_harmonic_np(x: np.ndarray, y: np.ndarray, order: int = 3) -> np.ndarray:
     """Harmonic regression (`opc/DoubleLogisticCurve.py:69-100` HarmonicCurve):
     linear in its 9 coefficients, so the exact solution is one lstsq —
@@ -331,6 +423,43 @@ def fit_double_logistic(
             by: [pdf[by].iloc[0]],
             "c": [p[0]], "k1": [p[1]], "x01": [p[2]], "k2": [p[3]],
             "x02": [p[4]], "rmse": [rmse],
+            "emergence_doy": [em], "harvest_doy": [hv],
+        })
+
+    return df.groupBy(by).applyInPandas(fn, schema=out_schema)
+
+
+def fit_asym_gaussian(
+    df: DataFrame,
+    value: str,
+    by: str = "site_id",
+    doy: str = "doy",
+) -> DataFrame:
+    """W8c: per-series asymmetric-Gaussian fit + phenology dates
+    (`opc/AssymetricGaussian.py:6-62` parity; same applyInPandas shape as
+    the double-logistic sibling).
+    Output: (by, amplitude, center, sigma, alpha, rmse, emergence_doy,
+    harvest_doy)."""
+    out_schema = StructType([
+        df.schema[by],
+        StructField("amplitude", DoubleType()), StructField("center", DoubleType()),
+        StructField("sigma", DoubleType()), StructField("alpha", DoubleType()),
+        StructField("rmse", DoubleType()),
+        StructField("emergence_doy", LongType()),
+        StructField("harvest_doy", LongType()),
+    ])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[doy].to_numpy(dtype=np.float64)
+        y = pdf[value].to_numpy(dtype=np.float64)
+        p = fit_asym_gaussian_np(x, y)
+        pred = asym_gaussian(x, *p)
+        rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
+        em, hv = asym_gaussian_dates(p)
+        return pd.DataFrame({
+            by: [pdf[by].iloc[0]],
+            "amplitude": [p[0]], "center": [p[1]], "sigma": [p[2]],
+            "alpha": [p[3]], "rmse": [rmse],
             "emergence_doy": [em], "harvest_doy": [hv],
         })
 

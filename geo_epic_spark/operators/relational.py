@@ -60,6 +60,54 @@ def depth_bucket_median(
     ).withColumnRenamed("__depth_b", "depth_bucket")
 
 
+def opc_append(
+    first: DataFrame,
+    second: DataFrame,
+    by: list[str] | None = None,
+    start_year: int | None = None,
+) -> DataFrame:
+    """Append one operation schedule to another with Yid re-basing
+    (`io/opc.py:605-635` OPC.append): the second schedule's year ids are
+    shifted to start right after the first's last year —
+    ``Yid2' = Yid2 - (min(Yid2) - 1) + max(Yid1)``, with the reference's
+    ``min == 0`` escape (a 0-based schedule is only offset, not rebased) —
+    then the rows are concatenated and calendar columns rebuilt:
+    ``Yr = start_year + Yid - 1`` and a real ``date`` from (Yr, Mn, Dy).
+
+    ``by`` appends per schedule group (e.g. per site) in one pass: the
+    per-group offsets come from two tiny aggregates broadcast back onto the
+    streams — no window over the fact rows, so the big side never shuffles
+    on anything wider than the group key. ``by=None`` treats each input as a
+    single schedule.
+    """
+    by = by or []
+    if by:
+        off1 = first.groupBy(*by).agg(F.max("Yid").alias("__last"))
+        off2 = second.groupBy(*by).agg(F.min("Yid").alias("__min"))
+        f = first.join(F.broadcast(off1.join(off2, by)), on=by, how="inner")
+        s = second.join(F.broadcast(off1.join(off2, by)), on=by, how="inner")
+    else:
+        off1 = first.agg(F.max("Yid").alias("__last"))
+        off2 = second.agg(F.min("Yid").alias("__min"))
+        f = first.crossJoin(F.broadcast(off1)).crossJoin(F.broadcast(off2))
+        s = second.crossJoin(F.broadcast(off1)).crossJoin(F.broadcast(off2))
+    rebased = s.withColumn(
+        "Yid",
+        F.when(F.col("__min") == 0, F.col("Yid") + F.col("__last")).otherwise(
+            F.col("Yid") - (F.col("__min") - 1) + F.col("__last")
+        ),
+    )
+    out = f.unionByName(rebased).drop("__last", "__min")
+    if start_year is not None:
+        out = out.withColumn(
+            "Yr", F.lit(start_year) + F.col("Yid") - 1
+        ).withColumn(
+            "date",
+            F.make_date(F.col("Yr"), F.col("Mn"), F.col("Dy")),
+        )
+    return out
+
+
 def resume_filter(work: DataFrame, done: DataFrame, key: str | list[str]) -> DataFrame:
     """Skip-existing resume: drop work rows whose key already appears in the
     done-manifest (`sites/generate.py:97-98`, `soil/ssurgo_gdb.py:129-130`,

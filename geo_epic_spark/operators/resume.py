@@ -18,10 +18,11 @@ import os
 import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_SCHEMA = "partition_id string, rows_in long, rows_out long, checksum long, run_id string"
+METRICS_SCHEMA = "run_id string, stage string, metric string, value long"
 
 
 def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
@@ -54,13 +55,22 @@ def run_with_resume(
     out_path: str,
     manifest_path: str,
     run_id: str | None = None,
+    metrics_path: str | None = None,
 ) -> dict:
     """Process only the partitions absent from the manifest; append output
     (partitioned by key) + manifest rows with per-partition lineage metrics.
 
     Row counts come from one aggregate over the output (no observe/collect
     per partition); checksum is the bitwise XOR of xxhash64 over all output
-    columns — cheap, order-insensitive, catches content drift."""
+    columns — cheap, order-insensitive, catches content drift.
+
+    In-flight stage metrics (the reference DataLogger analog,
+    `io/data_logger.py:298-380`): ``observe()`` nodes on the input and
+    output streams capture rows/checksum DURING the output write job — zero
+    extra actions, unlike the per-partition manifest aggregates. They are
+    returned under ``"observed"`` and, when ``metrics_path`` is given,
+    appended as (run_id, stage, metric, value) rows — the `@logger` routine
+    metrics table a reference user expects."""
     run_id = run_id or uuid.uuid4().hex[:12]
     pend = pending_partitions(spark, work, part_col, manifest_path)
     todo = work.join(
@@ -70,12 +80,20 @@ def run_with_resume(
     ).drop("__p")
     n_pending = pend.count()
     if n_pending == 0:
-        return {"run_id": run_id, "partitions": 0, "rows_out": 0}
+        return {"run_id": run_id, "partitions": 0, "rows_out": 0, "observed": {}}
 
+    obs_in = Observation()
+    todo = todo.observe(obs_in, F.count(F.lit(1)).alias("rows"))
     in_counts = todo.groupBy(F.col(part_col).cast("string").alias("partition_id")).agg(
         F.count(F.lit(1)).alias("rows_in")
     )
     result = process(todo)
+    obs_out = Observation()
+    result = result.observe(
+        obs_out,
+        F.count(F.lit(1)).alias("rows"),
+        F.bit_xor(F.xxhash64(*result.columns)).alias("checksum"),
+    )
     # dynamic partition overwrite: only the pending partitions are replaced,
     # so re-runs are idempotent (no duplicate rows on recompute)
     (
@@ -84,6 +102,20 @@ def run_with_resume(
         .partitionBy(part_col)
         .parquet(out_path)
     )
+    observed = {
+        "input_rows": int(obs_in.get["rows"]),
+        "output_rows": int(obs_out.get["rows"]),
+        "output_checksum": int(obs_out.get["checksum"] or 0),
+    }
+    if metrics_path:
+        spark.createDataFrame(
+            [
+                (run_id, "input", "rows", observed["input_rows"]),
+                (run_id, "output", "rows", observed["output_rows"]),
+                (run_id, "output", "checksum", observed["output_checksum"]),
+            ],
+            METRICS_SCHEMA,
+        ).write.mode("append").parquet(metrics_path)
     written = spark.read.parquet(out_path).join(
         pend.withColumnRenamed(part_col, "__p"),
         on=F.col(part_col).cast("string") == F.col("__p"),
@@ -101,7 +133,12 @@ def run_with_resume(
     )
     manifest.write.mode("append").parquet(manifest_path)
     rows_out = manifest.agg(F.sum("rows_out")).collect()[0][0] or 0
-    return {"run_id": run_id, "partitions": n_pending, "rows_out": int(rows_out)}
+    return {
+        "run_id": run_id,
+        "partitions": n_pending,
+        "rows_out": int(rows_out),
+        "observed": observed,
+    }
 
 
 def invalidate_partitions(

@@ -76,3 +76,36 @@ def test_phash_dedup_planted_duplicates(spark):
     groups = df.groupBy("phash").agg(F.count(F.lit(1)).alias("n")).toPandas()
     assert len(groups) == 90
     assert (groups["n"] == 3).all()
+
+
+def test_bilinear_resize_exact_on_linear_gradient():
+    """Bilinear interpolation reproduces per-axis linear functions exactly
+    (closed-form check, no image library needed)."""
+    h, w = 64, 96
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # f(x, y) = 2x + y  mapped into uint8 range
+    grad = (2 * xx + yy).astype(np.float64)
+    img = np.repeat(grad[:, :, None], 3, axis=2).astype(np.uint8)
+    out = codec.bilinear_resize(img, 48, 32)
+    # expected: sample the same linear fn at half-pixel-centre src coords
+    sx = (np.arange(48) + 0.5) * (w / 48) - 0.5
+    sy = (np.arange(32) + 0.5) * (h / 32) - 0.5
+    want = 2 * np.clip(sx, 0, w - 1)[None, :] + np.clip(sy, 0, h - 1)[:, None]
+    np.testing.assert_allclose(out[:, :, 0], np.rint(want), atol=1)
+
+
+def test_resize_images_spark(spark):
+    from geo_epic_spark.images.udfs import resize_images
+
+    df = full_images_df(spark, 12)
+    out = resize_images(df, target=16)
+    pdf = out.select("image_id", "bytes", "w", "h", "fmt", "phash").toPandas()
+    assert (pdf["w"] == 16).all() and (pdf["h"] == 16).all()
+    assert (pdf["fmt"] == "png").all()
+    for blob in pdf["bytes"]:
+        arr = codec.decode_image(bytes(blob), "png")
+        assert arr.shape == (16, 16, 3)
+    # deterministic: same input -> same payload + phash
+    pdf2 = resize_images(df, target=16).select("image_id", "phash").toPandas()
+    m = pdf.merge(pdf2, on="image_id", suffixes=("", "_2"))
+    assert (m["phash"] == m["phash_2"]).all()

@@ -128,3 +128,36 @@ def test_fit_harmonic_spark(spark):
     out = ph.fit_harmonic(df, "ndvi", by="site_id", doy="doy").toPandas()
     assert len(out) == 2
     assert set(out.columns) >= {"c1", "c9", "n_seasons"}
+
+
+def test_asym_gaussian_fit_recovers_curve():
+    x = np.arange(1, 366, 8, dtype=float)
+    true = (3.0, 190.0, 40.0, 1.5)
+    y = ph.asym_gaussian(x, *true)
+    p = ph.fit_asym_gaussian_np(x, y)
+    np.testing.assert_allclose(p, true, atol=1e-4)
+    em, hv = ph.asym_gaussian_dates(p)
+    assert 0 < em < hv < 365
+
+
+def test_asym_gaussian_dates_symmetric_fallback():
+    # alpha=0 reduces to a plain Gaussian: d2 maxima at center±sqrt(3)*sigma,
+    # single d2 minimum at the center (reference get_dates semantics)
+    em, hv = ph.asym_gaussian_dates(np.array([2.0, 220.0, 55.0, 0.0]))
+    assert abs(em - (220 - math.sqrt(3) * 55)) <= 2
+    assert abs(hv - 220) <= 1
+
+
+def test_fit_asym_gaussian_spark(spark):
+    rows = []
+    for s in range(3):
+        amp, ctr, sg, al = 2.0 + s, 160.0 + 20 * s, 30.0 + 5 * s, 1.0
+        x = np.arange(1, 366, 8, dtype=float)
+        y = ph.asym_gaussian(x, amp, ctr, sg, al)
+        rows += [(s, float(d), float(v)) for d, v in zip(x, y)]
+    df = spark.createDataFrame(rows, "site_id long, doy double, ndvi double")
+    out = ph.fit_asym_gaussian(df, "ndvi").toPandas().sort_values("site_id")
+    np.testing.assert_allclose(out["amplitude"], [2.0, 3.0, 4.0], atol=1e-3)
+    np.testing.assert_allclose(out["center"], [160.0, 180.0, 200.0], atol=0.1)
+    assert (out["rmse"] < 1e-4).all()
+    assert (out["emergence_doy"] < out["harvest_doy"]).all()

@@ -9,6 +9,7 @@ from geo_epic_spark.functions.select_dsl import select_str
 from geo_epic_spark.operators.relational import (
     depth_bucket_median,
     dominant_component,
+    opc_append,
     resume_filter,
     soil_projection,
 )
@@ -128,3 +129,37 @@ def test_apply_derived_formula_chain(spark):
     es = 611 * math.exp((17.27 * 25.0) / (25.0 + 237.3))
     assert abs(out["es"] - es) < 1e-6
     assert abs(out["rh"] - 1000.0 / es) < 1e-9
+
+
+def test_opc_append_yid_rebasing(spark):
+    """`io/opc.py:605-635` parity: second schedule's Yids rebase to follow the
+    first's last year; min==0 schedules are offset without rebase; Yr/date
+    rebuilt from start_year."""
+    first = spark.createDataFrame(
+        [(1, 3, 15, 2), (2, 6, 1, 650), (3, 4, 10, 2)],
+        "Yid int, Mn int, Dy int, CODE int",
+    )
+    second = spark.createDataFrame(
+        [(4, 5, 20, 2), (5, 9, 30, 650)],  # min=4 -> rebase to 1,2 -> +3
+        "Yid int, Mn int, Dy int, CODE int",
+    )
+    out = opc_append(first, second, start_year=2000).orderBy("Yid", "Mn").toPandas()
+    assert out["Yid"].tolist() == [1, 2, 3, 4, 5]
+    assert out["Yr"].tolist() == [2000, 2001, 2002, 2003, 2004]
+    assert str(out["date"].iloc[3]) == "2003-05-20"
+    # min == 0: offset only (reference's escape hatch)
+    zero = spark.createDataFrame([(0, 2, 1, 2), (1, 7, 4, 650)],
+                                 "Yid int, Mn int, Dy int, CODE int")
+    out0 = opc_append(first, zero).orderBy("Yid").toPandas()
+    assert out0["Yid"].tolist() == [1, 2, 3, 3, 4]
+
+
+def test_opc_append_grouped(spark):
+    """Per-site append in one pass: offsets resolve per group."""
+    first = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], "site string, Yid int")
+    second = spark.createDataFrame(
+        [("a", 1), ("b", 5), ("b", 6)], "site string, Yid int")
+    out = opc_append(first, second, by=["site"]).toPandas()
+    got = sorted(map(tuple, out[["site", "Yid"]].itertuples(index=False)))
+    assert got == [("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2), ("b", 3)]

@@ -48,3 +48,25 @@ def test_run_resume_invalidate(spark, tmp_path):
     new = m3.set_index("partition_id").checksum
     for p in ["1", "3", "5"]:
         assert new[p] == orig[p]
+
+
+def test_observed_metrics_match_manifest(spark, tmp_path):
+    """observe()-based in-flight metrics (DataLogger analog) must agree with
+    the manifest aggregates, and land in the metrics table when requested."""
+    work = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("part"), F.col("id").alias("v")
+    )
+    out_p, man_p, met_p = (str(tmp_path / d) for d in ("out", "man", "met"))
+    res = run_with_resume(
+        spark, work, "part", lambda df: df.filter(F.col("v") % 2 == 0),
+        out_p, man_p, metrics_path=met_p,
+    )
+    assert res["observed"]["input_rows"] == 100
+    assert res["observed"]["output_rows"] == 50
+    assert res["observed"]["output_rows"] == res["rows_out"]
+    man = spark.read.parquet(man_p).toPandas()
+    assert man["rows_in"].sum() == res["observed"]["input_rows"]
+    assert man["rows_out"].sum() == res["observed"]["output_rows"]
+    met = spark.read.parquet(met_p).toPandas()
+    assert set(met["stage"]) == {"input", "output"}
+    assert met.loc[(met.stage == "output") & (met.metric == "rows"), "value"].iloc[0] == 50
