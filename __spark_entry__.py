@@ -852,18 +852,53 @@ def _sql_smooth_savgol() -> str:
     """
 
 
+N_SEASON_SITES, SEASON_OBS = 6, 92
+
+
+def _season_series(spark: SparkSession) -> DataFrame:
+    """Per-site multi-season series: site s carries s%3+1 gaussian bumps at
+    centers 365*(j+0.5)/k, sampled every 4 days. Ground truth (the planted
+    season count) is pure integer arithmetic, so the oracle needs no peak
+    logic at all."""
+    t = F.col("id")
+    site = (t / F.lit(SEASON_OBS)).cast("long")
+    doy = (t % F.lit(SEASON_OBS)).cast("double") * 4.0 + 1.0
+    k = (site % 3 + 1).cast("int")
+    val = F.lit(0.0)
+    for j in range(3):
+        center = F.lit(365.0) * (F.lit(float(j)) + 0.5) / k.cast("double")
+        bump = F.exp(-((doy - center) / F.lit(20.0)) ** 2)
+        val = val + F.when(F.lit(j) < k, bump).otherwise(F.lit(0.0))
+    return spark.range(N_SEASON_SITES * SEASON_OBS).select(
+        site.alias("site_id"), doy.alias("doy"),
+        F.date_add(F.to_date(F.lit("2020-01-01")), (doy - 1).cast("int")).alias("date"),
+        val.alias("ndvi"),
+    )
+
+
 def q_count_seasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 season counting: peaks >= 75th pct, min separation ceil(n/4)
-    (`phenocrop/detect_season.py:33-41`); greedy peak pruning is not
-    ANSI-SQL-expressible -> rows-only driver check, kernel tested in pytest."""
-    w = synth.weather_daily_df(spark, W_CELLS, W_DAYS)
-    return count_seasons(w.select("cell_id", "date", "tmax"), "tmax",
-                         by="cell_id", order="date")
+    (`phenocrop/detect_season.py:33-41`), run on planted k-season series —
+    the DuckDB oracle is the planted ground truth (site s has s%3+1 seasons),
+    so a hash-match proves the detector recovers every planted count. The
+    greedy pruning kernel itself is pinned against noisy series in pytest."""
+    s = _season_series(spark)
+    out = count_seasons(s.select("site_id", "date", "ndvi"), "ndvi",
+                        by="site_id", order="date")
+    return out.select("site_id", "n_seasons")
+
+
+def _sql_count_seasons() -> str:
+    return f"""
+    SELECT CAST(s AS BIGINT) AS site_id, CAST(s % 3 + 1 AS INTEGER) AS n_seasons
+    FROM (SELECT unnest(range({N_SEASON_SITES})) AS s)
+    """
 
 
 def _ndvi_series(spark: SparkSession, n_sites: int = 6, n_obs: int = 46) -> DataFrame:
-    """Deterministic per-site NDVI-like curves (double-logistic + hash
-    jitter) built from pure Column arithmetic."""
+    """Deterministic per-site NDVI curves: exact double-logistic in pure
+    Column arithmetic (noise-free — the fit oracle checks exact parameter
+    recovery; robustness to jitter is pinned in pytest)."""
     t = F.col("id")
     site = (t / F.lit(n_obs)).cast("long")
     doy = (t % F.lit(n_obs)) * 8 + 1
@@ -871,32 +906,202 @@ def _ndvi_series(spark: SparkSession, n_sites: int = 6, n_obs: int = 46) -> Data
     x01 = F.lit(120.0) + site.cast("double") * 5.0
     s1 = 1.0 / (1.0 + F.exp(-0.08 * (doy - x01)))
     s2 = 1.0 / (1.0 + F.exp(-0.1 * (doy - F.lit(250.0))))
-    jit = (F.pmod(F.xxhash64(t), F.lit(1000)) / 1000.0 - 0.5) * 0.05
     return spark.range(n_sites * n_obs).select(
         site.alias("site_id"),
         doy.cast("double").alias("doy"),
-        (c * (s1 - s2) + jit).alias("ndvi"),
+        (c * (s1 - s2)).alias("ndvi"),
     )
 
 
 def q_double_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8 double-logistic fit + phenology dates (`opc/DoubleLogisticCurve.py`):
-    bounded Gauss-Newton per site inside applyInPandas (iterative optimizer —
-    no SQL oracle; recovery-accuracy invariants in pytest)."""
+    bounded Gauss-Newton per site inside applyInPandas. The DuckDB oracle
+    emits the GENERATOR\'s parameters and evaluates the emergence/harvest
+    third-derivative peak scan on the true curve — the fit must recover both
+    to rounding precision for the hash to match."""
     s = _ndvi_series(spark)
     out = fit_double_logistic(s, "ndvi", by="site_id", doy="doy")
     return out.select(
-        "site_id", F.round("c", 2).alias("c_fit"),
-        F.round("x01", 0).alias("sos"), F.round("x02", 0).alias("eos"),
+        "site_id", F.round("c", 3).alias("c_fit"),
+        F.round("x01", 1).alias("sos"), F.round("x02", 1).alias("eos"),
         "emergence_doy", "harvest_doy",
     )
 
 
+def _sql_double_logistic() -> str:
+    # d3 of c*(s(k1,x01) - s(k2,x02)) with s\'\'\'(z) = k^3 s(1-s)(1-6s+6s^2);
+    # emergence = first strict local max of d3 with d3 >= 0, harvest = last
+    # strict local max of -d3 with -d3 >= 0 (find_peaks(height=0) semantics)
+    s1 = "(1.0 / (1.0 + exp(-0.08 * (doy - x01))))"
+    s2 = "(1.0 / (1.0 + exp(-0.1 * (doy - 250.0))))"
+    d3 = (f"c * (0.08*0.08*0.08 * {s1} * (1 - {s1}) * (1 - 6*{s1} + 6*{s1}*{s1})"
+          f" - 0.1*0.1*0.1 * {s2} * (1 - {s2}) * (1 - 6*{s2} + 6*{s2}*{s2}))")
+    return f"""
+    WITH sites AS (
+      SELECT CAST(s AS BIGINT) AS site_id,
+             4.0 + CAST(s % 3 AS DOUBLE) AS c,
+             120.0 + CAST(s AS DOUBLE) * 5.0 AS x01
+      FROM (SELECT unnest(range(6)) AS s)
+    ),
+    grid AS (
+      SELECT site_id, c, x01, CAST(d AS DOUBLE) AS doy, {d3} AS d3
+      FROM sites, (SELECT unnest(range(365)) AS d)
+    ),
+    lagged AS (
+      SELECT site_id, c, x01, doy, d3,
+             lag(d3) OVER w AS pd, lead(d3) OVER w AS nd
+      FROM grid WINDOW w AS (PARTITION BY site_id ORDER BY doy)
+    ),
+    marks AS (
+      SELECT site_id, c, x01, doy,
+             (pd < d3 AND nd < d3 AND d3 >= 0) AS is_up,
+             (pd > d3 AND nd > d3 AND -d3 >= 0) AS is_dn
+      FROM lagged WHERE pd IS NOT NULL AND nd IS NOT NULL
+    )
+    SELECT site_id, round(c, 3) AS c_fit, round(x01, 1) AS sos,
+           250.0 AS eos,
+           CAST(min(CASE WHEN is_up THEN doy END) AS BIGINT) AS emergence_doy,
+           CAST(max(CASE WHEN is_dn THEN doy END) AS BIGINT) AS harvest_doy
+    FROM marks GROUP BY site_id, c, x01
+    """
+
+
+HARM_W = 2.0 * 3.141592653589793 / 365.0
+
+
+def _harmonic_series(spark: SparkSession, n_sites: int = 6, n_obs: int = 46) -> DataFrame:
+    """Exact 3rd-order harmonic curves with site-dependent coefficients —
+    the linear lstsq fit recovers them to machine precision, so the oracle
+    emits the generator\'s coefficients directly."""
+    t = F.col("id")
+    site = (t / F.lit(n_obs)).cast("long")
+    x = ((t % F.lit(n_obs)) * 8 + 1).cast("double")
+    sd = site.cast("double")
+    val = (
+        F.lit(2.0) + sd * 0.5
+        + F.lit(0.002) * x
+        + F.lit(1e-6) * x * x
+        + (F.lit(1.0) + sd * 0.1) * F.sin(F.lit(HARM_W) * x)
+        + F.lit(0.5) * F.cos(F.lit(HARM_W) * x)
+        + F.lit(0.3) * F.sin(F.lit(2 * HARM_W) * x)
+        + (site % 3).cast("double") * 0.2 * F.cos(F.lit(2 * HARM_W) * x)
+        + F.lit(0.1) * F.sin(F.lit(3 * HARM_W) * x)
+        + F.lit(0.05) * F.cos(F.lit(3 * HARM_W) * x)
+    )
+    return spark.range(n_sites * n_obs).select(
+        site.alias("site_id"), x.alias("doy"), val.alias("ndvi")
+    )
+
+
 def q_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W8b harmonic regression per site (linear lstsq inside applyInPandas)."""
-    s = _ndvi_series(spark)
+    """W8b harmonic regression per site (exact lstsq inside applyInPandas),
+    on exact-harmonic input: the oracle emits the generator\'s coefficients
+    and counts the true curve\'s sampled peaks — coefficient recovery to
+    4-decimal rounding is the pass condition."""
+    s = _harmonic_series(spark)
     out = fit_harmonic(s, "ndvi", by="site_id", doy="doy")
-    return out.select("site_id", F.round("c1", 4).alias("c1_fit"), "n_seasons")
+    return out.select(
+        "site_id",
+        F.round("c1", 4).alias("c1_fit"),
+        F.round("c4", 4).alias("c4_fit"),
+        F.round("c7", 4).alias("c7_fit"),
+        "n_seasons",
+    )
+
+
+def _sql_harmonic_fit() -> str:
+    w = repr(HARM_W)
+    curve = (f"(2.0 + s*0.5 + 0.002*x + 1e-6*x*x"
+             f" + (1.0 + s*0.1) * sin({w}*x) + 0.5 * cos({w}*x)"
+             f" + 0.3 * sin(2*{w}*x) + (site_id % 3) * 0.2 * cos(2*{w}*x)"
+             f" + 0.1 * sin(3*{w}*x) + 0.05 * cos(3*{w}*x))")
+    return f"""
+    WITH sites AS (
+      SELECT CAST(t AS BIGINT) AS site_id, CAST(t AS DOUBLE) AS s
+      FROM (SELECT unnest(range(6)) AS t)
+    ),
+    grid AS (
+      SELECT site_id, s, CAST(o * 8 + 1 AS DOUBLE) AS x
+      FROM sites, (SELECT unnest(range(46)) AS o)
+    ),
+    vals AS (
+      SELECT site_id, s, x, {curve} AS v FROM grid
+    ),
+    lagged AS (
+      SELECT site_id, s, v, lag(v) OVER w AS pv, lead(v) OVER w AS nv
+      FROM vals WINDOW w AS (PARTITION BY site_id ORDER BY x)
+    )
+    SELECT site_id,
+           round(2.0 + s * 0.5, 4) AS c1_fit,
+           round(1.0 + s * 0.1, 4) AS c4_fit,
+           round((site_id % 3) * 0.2, 4) AS c7_fit,
+           CAST(count(CASE WHEN pv < v AND nv < v THEN 1 END) AS INTEGER)
+             AS n_seasons
+    FROM lagged WHERE pv IS NOT NULL AND nv IS NOT NULL
+    GROUP BY site_id, s
+    """
+
+
+def _agauss_series(spark: SparkSession, n_sites: int = 6, n_obs: int = 46) -> DataFrame:
+    """Exact asymmetric-Gaussian curves (skew-normal shape) per site. erf has
+    no Column/DuckDB equivalent, so generation runs in the same Arrow-batched
+    numpy as the fit — while the ORACLE only needs the planted parameters
+    (pure literals)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from geo_epic_spark.operators.phenology import asym_gaussian
+
+    schema = StructType([
+        StructField("site_id", LongType()),
+        StructField("doy", DoubleType()),
+        StructField("ndvi", DoubleType()),
+    ])
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for s in pdf["site_id"]:
+            x = np.arange(n_obs, dtype=np.float64) * 8 + 1
+            amp, ctr = 2.0 + s % 3, 150.0 + 10.0 * s
+            sg, al = 30.0 + 3.0 * (s % 4), 1.0 + 0.5 * (s % 2)
+            y = asym_gaussian(x, amp, ctr, sg, al)
+            out.append(pd.DataFrame({"site_id": s, "doy": x, "ndvi": y}))
+        return pd.concat(out, ignore_index=True)
+
+    sites = spark.range(n_sites).select(F.col("id").alias("site_id"))
+    return sites.groupBy("site_id").applyInPandas(gen, schema)
+
+
+def q_asym_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8c asymmetric-Gaussian fit (`opc/AssymetricGaussian.py:6-62` parity):
+    Cauchy-robust bounded Gauss-Newton per site. Oracle = the generator\'s
+    planted parameters (+ rmse 0) — exact recovery to rounding precision.
+    Phenology dates need erf (absent from DuckDB) and are pinned in pytest."""
+    from geo_epic_spark.operators.phenology import fit_asym_gaussian
+
+    s = _agauss_series(spark)
+    out = fit_asym_gaussian(s, "ndvi", by="site_id", doy="doy")
+    return out.select(
+        "site_id",
+        F.round("amplitude", 4).alias("amp_fit"),
+        F.round("center", 3).alias("center_fit"),
+        F.round("sigma", 3).alias("sigma_fit"),
+        F.round("alpha", 4).alias("alpha_fit"),
+        F.round("rmse", 4).alias("rmse_r"),
+    )
+
+
+def _sql_asym_gaussian() -> str:
+    return """
+    SELECT CAST(s AS BIGINT) AS site_id,
+           round(2.0 + s % 3, 4) AS amp_fit,
+           round(150.0 + 10.0 * s, 3) AS center_fit,
+           round(30.0 + 3.0 * (s % 4), 3) AS sigma_fit,
+           round(1.0 + 0.5 * (s % 2), 4) AS alpha_fit,
+           0.0 AS rmse_r
+    FROM (SELECT unnest(range(6)) AS s)
+    """
 
 
 def q_validate_dly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1138,14 +1343,20 @@ def _sql_lang_id() -> str:
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (scale path of q_cosine_topk): coarse-quantize to 8
-    centroid lists, probe the 3 nearest per query. Approximate by design ->
-    rows-only driver check; recall-vs-exact invariant in pytest."""
-    from geo_epic_spark.operators.similarity import ivf_assign, ivf_topk, kmeans_centroids
+    centroid lists, probe the 3 nearest per query. Centroids here are a
+    deterministic pick (the first 8 vectors) so the ENTIRE approximate
+    pipeline — list assignment, probe selection, in-list exact rank — is
+    reproduced by the DuckDB oracle; the kmeans-seeded build path and the
+    recall-vs-exact invariant stay in pytest (test_ivf_topk_recall)."""
+    from geo_epic_spark.operators.similarity import ivf_assign, ivf_topk
 
     v = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    cents = kmeans_centroids(v, c=8)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in v.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
     assigned = ivf_assign(v, cents)
     q = v.filter("vec_id < 5").select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -1154,25 +1365,184 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
 
 
+def _sql_ivf_topk() -> str:
+    # mirror ivf_assign (nearest-centroid by squared L2, ties -> lowest
+    # centroid id), the per-query nprobe=3 probe list, and the in-list
+    # (cosine desc, vec_id) top-5 rank
+    return """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings),
+         c AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 8),
+         asg AS (
+           SELECT vec_id, embedding, cid,
+                  row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY list_distance(embedding, cvec), cid
+                  ) AS rn
+           FROM e CROSS JOIN c
+         ),
+         assigned AS (SELECT vec_id, embedding, cid AS ivf_list
+                      FROM asg WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e WHERE vec_id < 5),
+         probes AS (
+           SELECT q_id, q_vec, cid AS ivf_list,
+                  row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY list_distance(q_vec, cvec), cid
+                  ) AS prn
+           FROM q CROSS JOIN c
+         ),
+         cand AS (
+           SELECT p.q_id, v.vec_id,
+                  list_dot_product(v.embedding, p.q_vec)
+                    / (sqrt(list_dot_product(v.embedding, v.embedding))
+                       * sqrt(list_dot_product(p.q_vec, p.q_vec))) AS cos
+           FROM probes p JOIN assigned v ON p.ivf_list = v.ivf_list
+           WHERE p.prn <= 3
+         ),
+         ranked AS (
+           SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rank
+           FROM cand
+         )
+    SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, exact-verified (banded signatures —
-    not ANSI-SQL-expressible; recall/precision invariants in pytest)."""
+    """MinHash+LSH near-dup pairs, exact-verified. The DuckDB oracle is the
+    FULL exact n-gram Jaccard pair set at the same threshold — so the driver
+    hash-match doubles as a 100% recall proof for the banded config (rows=2,
+    bands=32) on this corpus: any pair the LSH misses fails the check."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, threshold=0.125, num_hashes=64, bands=32)
+    out = minhash_lsh_pairs(d, threshold=0.125, num_hashes=64, bands=32)
+    return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _sql_minhash_lsh() -> str:
+    # identical pair set to the exact shingle-join oracle: LSH recall on this
+    # corpus is exactly 1 (verified — that's the point of this oracle row)
+    return _sql_ngram_jaccard()
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 16-bit block bucketing + popcount verify."""
+    """SimHash near-dup pairs via 16-bit block bucketing + popcount verify.
+    Uses the portable md5-derived 60-bit word hash so the DuckDB oracle can
+    recompute the identical simhash values and mirror the block-candidate +
+    hamming-verify semantics exactly (including the max_hamming > 3
+    incompleteness of the 4-block pigeonhole filter)."""
     d = _t(spark, sf_dir, "documents")
-    return simhash_dup_pairs(d, max_hamming=8)
+    out = simhash_dup_pairs(d, max_hamming=8, bits=60, word_hash="md5_60")
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _sql_simhash_pairs() -> str:
+    # reproduce the simhash bit-for-bit: per (doc, bit) signed sums over
+    # md5-60 word hashes, reassemble bits 0..58, then the same 4x16-bit
+    # block-collision candidate filter + popcount verify as the Spark plan
+    return """
+    WITH words AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+            FROM documents)
+    ),
+    bitsum AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM words, (SELECT unnest(range(59)) AS bit) b
+      GROUP BY 1, 2
+    ),
+    sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      FROM bitsum GROUP BY 1
+    ),
+    blocks AS (
+      SELECT doc_id, simhash, b.blk, (simhash >> (b.blk * 16)) & 65535 AS bval
+      FROM sh, (SELECT unnest(range(4)) AS blk) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
+    """
+
+
+# planted-duplicate jitter for the embedding near-dup query: element k of the
+# copy of vector i is shifted by JIT_EPS * (u(i,k) - 0.5) with the synth-style
+# integer-hash uniform — reproducible bit-for-bit in DuckDB, and sized so
+# planted pairs sit at cosine ~0.997 while the densest natural pair is ~0.55
+JIT_EPS = 0.033
+JIT_OFF = 1_000_000
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs over embeddings, cosine-verified.
-    Banded (OR-amplified) hashing: 6 planes x 8 bands keeps recall high at the
-    0.35 threshold the synthetic embedding distribution calls for."""
-    v = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(v, threshold=0.35, planes=6, bands=8)
+
+    The corpus has no natural near-duplicates (max pair cosine ~0.55), so the
+    query plants one jittered copy per vector (portable hash arithmetic) and
+    detects the 500 planted pairs at threshold 0.99 with an 8-plane x 12-band
+    banded LSH (miss probability ~1e-12/pair at cosine 0.997). The DuckDB
+    oracle rebuilds the same jittered table and emits ALL pairs with cosine
+    >= 0.99 — hash-match therefore proves both recall (every planted pair
+    found) and precision (nothing else admitted)."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # jitter FIRST, rename second: with the shifted id aliased in the same
+    # select, Spark resolves the lambda's vec_id against the lateral alias
+    # (the +1e6 id), silently desyncing from the oracle's hash input
+    jit = v.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            # NB: constants deliberately differ from the LSH hyperplane
+            # generator (M[0], 40503, 9176 in dedup.embedding_near_dup_pairs)
+            # — sharing them correlates the jitter with the plane normals and
+            # inflates the bit-flip rate far beyond an independent
+            # perturbation (measured: 111/500 planted pairs missed)
+            lambda x, k: x
+            + F.lit(JIT_EPS)
+            * (
+                ((F.col("vec_id") * F.lit(synth.M[1]) + k * F.lit(48611) + F.lit(7919))
+                 % F.lit(4294967296)) / F.lit(4294967296.0)
+                - F.lit(0.5)
+            ),
+        ).alias("embedding"),
+    ).select((F.col("vec_id") + JIT_OFF).alias("vec_id"), "embedding")
+    both = v.unionByName(jit)
+    out = embedding_near_dup_pairs(both, threshold=0.99, planes=8, bands=12)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _sql_embedding_near_dup() -> str:
+    u = f"(((e.vec_id * {synth.M[1]} + k * 48611 + 7919) % 4294967296) / 4294967296.0)"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings),
+         jit AS (
+           SELECT e.vec_id + {JIT_OFF} AS vec_id,
+                  list(e.embedding[k + 1] + {JIT_EPS} * ({u} - 0.5)
+                       ORDER BY k) AS embedding
+           FROM e, (SELECT unnest(range(64)) AS k)
+           GROUP BY e.vec_id
+         ),
+         allv AS (SELECT * FROM e UNION ALL SELECT * FROM jit),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  list_dot_product(a.embedding, b.embedding)
+                    / (sqrt(list_dot_product(a.embedding, a.embedding))
+                       * sqrt(list_dot_product(b.embedding, b.embedding))) AS c
+           FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+         )
+    SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs WHERE c >= 0.99
+    """
 
 
 def q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,11 +1565,28 @@ def q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_image_invariants() -> str:
+    # ground truth: the generator's fmt split (i%10<7 -> png) and ZERO
+    # violations — any decode/PSNR/phash regression breaks the hash match
+    return """
+    SELECT fmt, count(*) AS n,
+           CAST(0 AS BIGINT) AS bad_shape,
+           CAST(0 AS BIGINT) AS bad_phash,
+           CAST(0 AS BIGINT) AS bad_psnr
+    FROM (SELECT CASE WHEN i % 10 < 7 THEN 'png' ELSE 'fjpg' END AS fmt
+          FROM (SELECT unnest(range(500)) AS i))
+    GROUP BY fmt
+    """
+
+
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """phash-based dedup grouping (SURVEY §2.10; skip-existing identity
     analog): planted duplicate payloads (pixel seed i % 90) -> groupBy phash,
-    keep lowest image_id. Payload-derived hashes are not SQL-computable ->
-    rows-only; exact-group invariant in pytest."""
+    keep lowest image_id. The hashes themselves are payload-derived (not
+    SQL-computable), but the GROUP STRUCTURE they must induce is ground
+    truth: rows i, i+90, i+180 are byte-identical, and no phash may collide
+    across groups — the oracle emits exactly that structure, so the hash
+    match proves both properties of the perceptual hash."""
     from geo_epic_spark.images.udfs import full_images_df
 
     df = full_images_df(spark, 270, seed_mod=90)
@@ -1211,6 +1598,13 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("keep_id", "n_copies")
     )
+
+
+def _sql_phash_dedup() -> str:
+    return """
+    SELECT printf('img%012d', i) AS keep_id, CAST(3 AS BIGINT) AS n_copies
+    FROM (SELECT unnest(range(90)) AS i)
+    """
 
 
 def q_knn_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1237,6 +1631,95 @@ def _sql_knn_k3() -> str:
            FROM pts p CROSS JOIN grid g
          )
     SELECT i, grid_id, CAST(nn_rank AS INTEGER) AS nn_rank FROM d WHERE nn_rank <= 3
+    """
+
+
+N_OPC_SITES = 10
+
+
+def _opc_pair(spark: SparkSession):
+    """Two deterministic per-site operation schedules. The first runs years
+    1..(2 + site%3); the second starts at Yid = site%2 (so even sites
+    exercise the reference's min==0 no-rebase escape) and runs 2 years."""
+
+    def sched(n_years_expr, first_yid_expr):
+        t = F.col("id")
+        site = (t / F.lit(6)).cast("long")
+        k = t % 6  # up to 6 op slots per site; filter to n_years*2
+        yid = first_yid_expr(site) + (k / 2).cast("long")
+        mn = (k % 2) * 5 + 3  # months 3 and 8
+        dy = ((site * 7 + k * 11) % 27 + 1).cast("int")
+        code = F.when(k % 2 == 0, 2).otherwise(650)
+        return (
+            spark.range(N_OPC_SITES * 6)
+            .select(
+                site.alias("site_id"), yid.cast("int").alias("Yid"),
+                mn.cast("int").alias("Mn"), dy.alias("Dy"),
+                code.cast("int").alias("CODE"), k.alias("__k"),
+            )
+            .filter(F.col("__k") < n_years_expr(site) * 2)
+            .drop("__k")
+        )
+
+    first = sched(lambda s: (s % 3 + 2).cast("long"), lambda s: F.lit(1).cast("long"))
+    second = sched(lambda s: F.lit(2).cast("long"), lambda s: (s % 2).cast("long"))
+    return first, second
+
+
+def q_opc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPC append with Yid re-basing (`io/opc.py:605-635`): the second
+    schedule's year ids shift to follow the first's last year (min==0
+    schedules offset without rebase), then Yr/date rebuild from start_year.
+    Oracle = the same rebase as chained SQL."""
+    from geo_epic_spark.operators.relational import opc_append
+
+    first, second = _opc_pair(spark)
+    out = opc_append(first, second, by=["site_id"], start_year=2000)
+    return out.select(
+        "site_id", "Yid", "Mn", "Dy", "CODE", "Yr",
+        F.date_format("date", "yyyy-MM-dd").alias("op_date"),
+    )
+
+
+def _sql_opc_append() -> str:
+    gen = f"""
+      SELECT (t // 6) AS site_id, (t % 6) AS k
+      FROM (SELECT unnest(range({N_OPC_SITES * 6})) AS t)
+    """
+    mk = """
+      SELECT site_id, CAST({yid} AS INTEGER) AS Yid,
+             CAST((k % 2) * 5 + 3 AS INTEGER) AS Mn,
+             CAST((site_id * 7 + k * 11) % 27 + 1 AS INTEGER) AS Dy,
+             CAST(CASE WHEN k % 2 = 0 THEN 2 ELSE 650 END AS INTEGER) AS CODE
+      FROM base WHERE k < {ny} * 2
+    """
+    first = mk.format(yid="1 + (k // 2)", ny="(site_id % 3 + 2)")
+    second = mk.format(yid="(site_id % 2) + (k // 2)", ny="2")
+    return f"""
+    WITH base AS ({gen}),
+         f AS ({first}),
+         s AS ({second}),
+         offs AS (
+           SELECT f.site_id, max(f.Yid) AS last_yid FROM f GROUP BY 1
+         ),
+         mins AS (
+           SELECT s.site_id, min(s.Yid) AS min_yid FROM s GROUP BY 1
+         ),
+         unioned AS (
+           SELECT * FROM f
+           UNION ALL
+           SELECT s.site_id,
+                  CAST(CASE WHEN m.min_yid = 0 THEN s.Yid + o.last_yid
+                       ELSE s.Yid - (m.min_yid - 1) + o.last_yid END
+                       AS INTEGER) AS Yid,
+                  s.Mn, s.Dy, s.CODE
+           FROM s JOIN offs o ON s.site_id = o.site_id
+                  JOIN mins m ON s.site_id = m.site_id
+         )
+    SELECT site_id, Yid, Mn, Dy, CODE,
+           CAST(2000 + Yid - 1 AS INTEGER) AS Yr,
+           strftime(make_date(2000 + Yid - 1, Mn, Dy), '%Y-%m-%d') AS op_date
+    FROM unioned
     """
 
 
@@ -1283,11 +1766,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_envelope_clip": q_envelope_clip,
         "q_lai_profile": q_lai_profile,
         "q_lang_id": q_lang_id,
-        # rows-only (non-SQL-expressible)
+        "q_opc_append": q_opc_append,
+        # approximate / payload / fit operators — oracled via planted ground
+        # truth or full SQL reproduction of the approximate semantics
         "q_ivf_topk": q_ivf_topk,
         "q_count_seasons": q_count_seasons,
         "q_double_logistic": q_double_logistic,
         "q_harmonic_fit": q_harmonic_fit,
+        "q_asym_gaussian": q_asym_gaussian,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_near_dup": q_embedding_near_dup,
@@ -1329,4 +1815,15 @@ def oracle_sql() -> dict[str, str]:
         "q_lai_profile": _sql_lai_profile(),
         "q_lang_id": _sql_lang_id(),
         "q_cosine_topk": _sql_cosine_topk(),
+        "q_opc_append": _sql_opc_append(),
+        "q_ivf_topk": _sql_ivf_topk(),
+        "q_count_seasons": _sql_count_seasons(),
+        "q_double_logistic": _sql_double_logistic(),
+        "q_harmonic_fit": _sql_harmonic_fit(),
+        "q_asym_gaussian": _sql_asym_gaussian(),
+        "q_minhash_lsh": _sql_minhash_lsh(),
+        "q_simhash_pairs": _sql_simhash_pairs(),
+        "q_embedding_near_dup": _sql_embedding_near_dup(),
+        "q_phash_dedup": _sql_phash_dedup(),
+        "q_image_invariants": _sql_image_invariants(),
     }

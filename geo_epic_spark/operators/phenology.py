@@ -241,11 +241,31 @@ def fit_asym_gaussian_np(x: np.ndarray, y: np.ndarray, n_iter: int = 80,
     """Bounded Gauss-Newton fit of the asymmetric Gaussian with a Cauchy
     robust loss (IRLS weights 1/(1+(r/f)^2)), mirroring the reference's
     least_squares(loss='cauchy', f_scale=0.5) call
-    (`opc/AssymetricGaussian.py:36-41`). Deterministic: fixed init
-    (1, 180, 30, 0), fixed iteration budget, numeric jacobian."""
+    (`opc/AssymetricGaussian.py:36-41`). Deterministic multi-start: the
+    reference's init (1, 180, 30, 0) plus data-driven alpha/center variants
+    (the single flat-alpha start stalls in a symmetric local optimum for
+    some skewed series); lowest final robust cost wins."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    p = _AG_INIT.copy()
+    peak_x = float(x[int(np.argmax(y))]) if len(x) else 180.0
+    amp0 = max(float(np.max(y)) * _SQRT2PI, 0.1) if len(x) else 1.0
+    inits = [
+        _AG_INIT.copy(),
+        np.array([amp0, peak_x, 30.0, 1.0]),
+        np.array([amp0, peak_x, 30.0, -1.0]),
+    ]
+    best = None
+    for p0 in inits:
+        p, c = _fit_asym_gaussian_single(x, y, p0, n_iter, f_scale)
+        if best is None or c < best[1]:
+            best = (p, c)
+    return best[0]
+
+
+def _fit_asym_gaussian_single(
+    x: np.ndarray, y: np.ndarray, p0: np.ndarray, n_iter: int, f_scale: float
+) -> tuple[np.ndarray, float]:
+    p = np.clip(p0.astype(np.float64), _AG_LO, _AG_HI)
 
     def resid(p):
         return asym_gaussian(x, *p) - y
@@ -283,7 +303,7 @@ def fit_asym_gaussian_np(x: np.ndarray, y: np.ndarray, n_iter: int = 80,
             lam *= 4.0
             if lam > 1e9:
                 break
-    return p
+    return p, c
 
 
 def asym_gaussian_dates(p: np.ndarray) -> tuple[int, int]:
