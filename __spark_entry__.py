@@ -1417,7 +1417,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match doubles as a 100% recall proof for the banded config (rows=2,
     bands=32) on this corpus: any pair the LSH misses fails the check."""
     d = _t(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(d, threshold=0.125, num_hashes=64, bands=32)
+    out = minhash_lsh_pairs(d, threshold=0.125, num_hashes=64, bands=32, partitions=32)
     return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 

@@ -37,6 +37,7 @@ from geo_epic_spark.session import get_spark  # noqa: E402
 N_IMG = int(os.environ.get("BENCH_N_IMG", "1000000"))
 N_DECODE = int(os.environ.get("BENCH_N_DECODE", "4000"))
 WARM = os.environ.get("BENCH_WARM", "1") != "0"
+N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 N_POLY = 2000
 GRID = (200, 320, 0.015625)
 
@@ -92,7 +93,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
             None,
         ),
         "minhash_lsh": (
-            lambda: _count(minhash_lsh_pairs(docs, threshold=0.125, num_hashes=64, bands=32)),
+            # partitions: the sf dir ships one parquet file; spread the
+            # shingle stage across the slots instead of one serial task
+            lambda: _count(
+                minhash_lsh_pairs(
+                    docs, threshold=0.125, num_hashes=64, bands=32, partitions=64
+                )
+            ),
             None,
         ),
         "cosine_topk": (
@@ -118,24 +125,47 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
             N_DECODE,
         ),
     }
+    # pin the nearest_grid covered-raster fast path: max_ring=1 +
+    # fallback='drop' must compile to ONE BroadcastHashJoin and no Union
+    # (a silent fallback to the escalating path was the prime suspect for a
+    # 10x-off driver measurement in round 1 — make it impossible)
+    from geo_epic_spark.plans.checks import formatted_plan
+
+    import re
+
+    ng_plan = formatted_plan(
+        nearest_grid_join(
+            imgs, grid, res=GRID[2], point_id="i", point_lon="cx",
+            point_lat="cy", max_ring=1, fallback="drop",
+        )
+    )
+    n_joins = len(re.findall(r"\(\d+\) BroadcastHashJoin", ng_plan))
+    assert n_joins == 1 and "Union" not in ng_plan, (
+        "nearest_grid fast-path plan regressed:\n" + ng_plan
+    )
+
     out = {}
     for name, (fn, rows) in defs.items():
         if WARM:
             # warm run pays one-off codegen + broadcast build + Python-worker
-            # spawn; best-of-2 timed runs because C2 JIT of the generated
-            # join code often lands only during the first full-size pass
-            # (BENCH_WARM=0 reports a single cold run instead)
+            # spawn; then n timed runs reporting best AND median — C2 JIT of
+            # the generated join code often lands only during the first
+            # full-size pass, and ambient hypervisor noise spikes individual
+            # runs (BENCH_WARM=0 reports a single cold run instead)
             fn()
-            dt, n = 1e18, 0
-            for _ in range(2):
+            times, n = [], 0
+            for _ in range(max(N_RUNS, 2)):
                 t0 = time.time()
                 n = fn()
-                dt = min(dt, time.time() - t0)
+                times.append(time.time() - t0)
+            times.sort()
+            dt = times[0]
+            med = times[len(times) // 2]
         else:
             t0 = time.time()
             n = fn()
-            dt = time.time() - t0
-        out[name] = {"sec": round(dt, 3), "result_rows": n}
+            dt = med = time.time() - t0
+        out[name] = {"sec": round(dt, 3), "median_sec": round(med, 3), "result_rows": n}
         if rows:
             out[name]["rows_per_sec"] = round(rows / dt)
     return out
@@ -156,6 +186,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {k: v["sec"] for k, v in res.items()},
+                "median": {k: v["median_sec"] for k, v in res.items()},
+                "runs_per_query": N_RUNS,
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "n_images": N_IMG,
                 "rows_per_sec": {

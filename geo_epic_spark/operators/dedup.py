@@ -153,6 +153,7 @@ def minhash_lsh_pairs(
     text: str = "text",
     key: str = "doc_id",
     n: int = 3,
+    partitions: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified.
 
@@ -163,9 +164,17 @@ def minhash_lsh_pairs(
     caller's own threshold is >= 95% (e.g. threshold 0.5 -> bands=32, rows=2,
     ~98.7% recall — NOT the textbook 16x4 config, whose ~34% miss rate at 0.5
     silently drops a third of true duplicates).
+
+    ``partitions``: optionally repartition the corpus before the shingle
+    explode. Set this when the input arrives in fewer partitions than the
+    cluster has slots (a single local parquet file serializes the whole
+    heavy stage on one task); leave None when the table is already properly
+    partitioned — at scale the extra full-text shuffle is pure cost.
     """
     if bands is None:
         bands = bands_for_threshold(threshold, num_hashes)
+    if partitions:
+        df = df.repartition(partitions)
     rows = num_hashes // bands
     rng_a, rng_b = _perm_constants(num_hashes)
     sh = (
@@ -195,10 +204,11 @@ def minhash_lsh_pairs(
             for j in range(num_hashes)
         ],
     ).localCheckpoint(eager=False)
-    sig = per_doc.select(
-        key, F.array(*[f"mh{j}" for j in range(num_hashes)]).alias("signature")
-    )
-    banded = sig.select(
+    # band hash straight off the agg columns: variadic xxhash64 over the
+    # band's row minima — no signature array, no string concat/casts (the
+    # old array-index + concat_ws tree tripled plan-analysis + codegen time,
+    # which dominates at small corpus sizes)
+    banded = per_doc.select(
         key,
         F.explode(
             F.array(
@@ -206,10 +216,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[F.col("signature")[bi * rows + r].cast("string") for r in range(rows)],
-                            )
+                            *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
                         ).alias("bhash"),
                     )
                     for bi in range(bands)
