@@ -1723,6 +1723,86 @@ def _sql_opc_append() -> str:
     """
 
 
+N_AUDIO, N_VIDEO = 200, 150
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio payload pipeline (multimodal axis): synth PCM16 clips -> decode
+    -> features (duration, rms, peak, zero crossings), Arrow-batched. The
+    generator is integer-hash arithmetic, so the oracle recomputes every
+    feature EXACTLY in SQL from the same formula — the hash match proves the
+    byte round trip (int16 LE encode -> frombuffer decode) and the feature
+    kernels together."""
+    from geo_epic_spark import media
+
+    a = media.synth_audio_df(spark, N_AUDIO)
+    return a.select(
+        "audio_id", media.audio_features("bytes", "sr").alias("f")
+    ).select(
+        "audio_id",
+        F.round("f.duration_s", 6).alias("duration_s"),
+        F.round("f.rms", 6).alias("rms"),
+        F.col("f.peak").alias("peak"),
+        F.col("f.zero_crossings").alias("zero_crossings"),
+    )
+
+
+def _sql_audio_features() -> str:
+    from geo_epic_spark.media import A_M1, A_M2, AUDIO_SAMPLES, AUDIO_SR
+
+    return f"""
+    WITH s AS (
+      SELECT i, k, ((i * {A_M1} + k * {A_M2} + 77) % 65536) - 32768 AS v
+      FROM (SELECT unnest(range({N_AUDIO})) AS i),
+           (SELECT unnest(range({AUDIO_SAMPLES})) AS k)
+    ),
+    zc AS (
+      SELECT i, v, k, lag(v) OVER (PARTITION BY i ORDER BY k) AS pv
+      FROM s
+    )
+    SELECT printf('aud%09d', i) AS audio_id,
+           round({AUDIO_SAMPLES} / CAST({AUDIO_SR} AS DOUBLE), 6) AS duration_s,
+           round(sqrt(sum(v * v) / CAST({AUDIO_SAMPLES} AS DOUBLE)), 6) AS rms,
+           CAST(max(abs(v)) AS INTEGER) AS peak,
+           CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS INTEGER)
+             AS zero_crossings
+    FROM zc GROUP BY i
+    """
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video payload pipeline (multimodal axis): synth raw-frame containers
+    -> frame-sample every 2nd frame -> per-frame mean luminance. The oracle
+    recomputes each sampled frame's exact integer mean from the pixel
+    formula — proving container slicing, frame decode and the sampling
+    stride in one hash match."""
+    from geo_epic_spark import media
+
+    v = media.synth_video_df(spark, N_VIDEO)
+    out = media.frame_sample(v, every=2)
+    return out.select(
+        "video_id", "frame_idx", F.round("mean_lum", 6).alias("mean_lum")
+    )
+
+
+def _sql_video_frames() -> str:
+    from geo_epic_spark.media import V_M1, V_M2, V_M3, VIDEO_FRAMES, VIDEO_H, VIDEO_W
+
+    npx = VIDEO_H * VIDEO_W * 3
+    return f"""
+    WITH px AS (
+      SELECT i, ff * 2 AS f, ((i * {V_M1} + ff * 2 * {V_M2} + k * {V_M3} + 13) % 256) AS p
+      FROM (SELECT unnest(range({N_VIDEO})) AS i),
+           (SELECT unnest(range({VIDEO_FRAMES // 2})) AS ff),
+           (SELECT unnest(range({npx})) AS k)
+    )
+    SELECT printf('vid%09d', i) AS video_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           round(sum(p) / CAST({npx} AS DOUBLE), 6) AS mean_lum
+    FROM px GROUP BY i, f
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1779,6 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_phash_dedup": q_phash_dedup,
         "q_image_invariants": q_image_invariants,
+        "q_audio_features": q_audio_features,
+        "q_video_frames": q_video_frames,
     }
 
 
@@ -1826,4 +1908,6 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_near_dup": _sql_embedding_near_dup(),
         "q_phash_dedup": _sql_phash_dedup(),
         "q_image_invariants": _sql_image_invariants(),
+        "q_audio_features": _sql_audio_features(),
+        "q_video_frames": _sql_video_frames(),
     }
