@@ -80,3 +80,44 @@ def test_interpolate_single_observation(spark):
     }))
     out = interpolate_daily(df, "v", by=["site"]).toPandas()
     assert len(out) == 1 and out.iloc[0]["v_interp"] == 5.0
+
+
+def test_opc_append_empty_second(spark):
+    from geo_epic_spark.operators.relational import opc_append
+
+    first = spark.createDataFrame([(1, 3, 15, 2)], "Yid int, Mn int, Dy int, CODE int")
+    empty = spark.createDataFrame([], "Yid int, Mn int, Dy int, CODE int")
+    # empty second: first passes through unchanged (no offsets resolvable)
+    out = opc_append(first, empty, start_year=2000).toPandas()
+    assert out["Yid"].tolist() == [1] and out["Yr"].tolist() == [2000]
+
+
+def test_bilinear_resize_upscale_and_identity():
+    import numpy as np
+
+    from geo_epic_spark.images import codec
+
+    img = codec.synth_pixels(3, 32, 32)
+    # identity resize is exact
+    np.testing.assert_array_equal(codec.bilinear_resize(img, 32, 32), img)
+    # upscale keeps range and shape
+    up = codec.bilinear_resize(img, 96, 64)
+    assert up.shape == (64, 96, 3)
+    assert up.min() >= img.min() - 1 and up.max() <= img.max() + 1
+
+
+def test_frame_sample_stride_beyond_length(spark):
+    from geo_epic_spark import media
+
+    df = media.synth_video_df(spark, 2)
+    out = media.frame_sample(df, every=100).toPandas()
+    # stride past the container: only frame 0 per video
+    assert out["frame_idx"].tolist() == [0, 0]
+
+
+def test_minhash_single_doc_no_pairs(spark):
+    from geo_epic_spark.operators.dedup import minhash_lsh_pairs
+
+    one = spark.createDataFrame([(1, "only one document here")],
+                                "doc_id long, text string")
+    assert minhash_lsh_pairs(one, threshold=0.5).count() == 0
