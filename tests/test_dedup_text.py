@@ -179,3 +179,30 @@ def test_minhash_default_banding_recall(spark):
     found = sum(1 for p in planted if p in pairs)
     assert len(planted) >= 20  # the fixture really plants enough positives
     assert found / len(planted) >= 0.95, (found, len(planted))
+
+
+def test_ivf_list_partition_pruning(spark, tmp_path):
+    """The IVF list id is the write-time partition column at scale
+    (similarity.py docstring): writing partitioned by ivf_list and probing
+    nprobe lists must prune to those partitions at the SCAN (visible as
+    PartitionFilters in the FileScan), so a probe reads nprobe/C of the
+    data instead of filtering after a full scan."""
+    from geo_epic_spark.plans.checks import formatted_plan
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    v = rng.normal(size=(200, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(df, c=4)
+    path = str(tmp_path / "ivf")
+    ivf_assign(df, cents).write.partitionBy("ivf_list").parquet(path)
+    stored = spark.read.parquet(path)
+    probe = stored.filter(F.col("ivf_list").isin([0, 2]))
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan and "ivf_list" in plan.split("PartitionFilters")[1][:200], plan
+    # and the probed result is exactly the rows of those lists
+    want = {r["vec_id"] for r in ivf_assign(df, cents)
+            .filter(F.col("ivf_list").isin([0, 2])).collect()}
+    assert {r["vec_id"] for r in probe.collect()} == want
