@@ -12,6 +12,17 @@ from geo_epic_spark.operators.phenology import (  # noqa: F401
     fit_harmonic,
     smooth_series,
 )
+from geo_epic_spark.operators.relational import (  # noqa: F401
+    depth_bucket_median,
+    dominant_component,
+    opc_append,
+    resume_filter,
+    soil_projection,
+)
+from geo_epic_spark.operators.resume import (  # noqa: F401
+    pending_partitions,
+    run_with_resume,
+)
 from geo_epic_spark.operators.similarity import cosine_topk, ivf_topk  # noqa: F401
 from geo_epic_spark.operators.spatial import (  # noqa: F401
     bbox_join,
