@@ -14,6 +14,7 @@ from geo_epic_spark import synth
 from geo_epic_spark.operators.spatial import pip_join
 from geo_epic_spark.plans.checks import (
     codegen_stage_count,
+    formatted_plan,
     has_broadcast_hash_join,
     pushed_filters,
     read_schemas,
@@ -54,3 +55,32 @@ def test_groupby_uses_partial_aggregation(spark):
     )
     plan = formatted_plan(df)
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_opc_append_fact_side_shuffle_free(spark):
+    """opc_append's offsets come from broadcast aggregates: the schedule
+    fact streams must union without any hash-partition Exchange of the fact
+    rows (only BroadcastExchange of the tiny per-group offset tables)."""
+    from geo_epic_spark.operators.relational import opc_append
+
+    first = spark.createDataFrame(
+        [("a", 1, 3, 1, 2)], "site string, Yid int, Mn int, Dy int, CODE int")
+    second = spark.createDataFrame(
+        [("a", 1, 4, 2, 650)], "site string, Yid int, Mn int, Dy int, CODE int")
+    plan = formatted_plan(opc_append(first, second, by=["site"]))
+    import re
+    # every Exchange must be a broadcast, never hashpartitioning of the facts
+    for m in re.finditer(r"Exchange (\w+)", plan):
+        assert "hashpartitioning" not in m.group(1), plan
+
+
+def test_media_pipelines_are_single_stage(spark):
+    """Audio features and frame sampling are scan -> mapInPandas/pandas_udf
+    with no shuffle: the payload never repartitions."""
+    from geo_epic_spark import media
+
+    a = media.synth_audio_df(spark, 4).select(
+        "audio_id", media.audio_features("bytes", "sr").alias("f"))
+    assert shuffle_free(a), formatted_plan(a)
+    v = media.frame_sample(media.synth_video_df(spark, 4), every=2)
+    assert shuffle_free(v), formatted_plan(v)
