@@ -23,7 +23,11 @@ from geo_epic_spark.operators.resume import (  # noqa: F401
     pending_partitions,
     run_with_resume,
 )
-from geo_epic_spark.operators.similarity import cosine_topk, ivf_topk  # noqa: F401
+from geo_epic_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    cosine_topk_arrow,
+    ivf_topk,
+)
 from geo_epic_spark.operators.spatial import (  # noqa: F401
     bbox_join,
     nearest_grid_join,

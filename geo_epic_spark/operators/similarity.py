@@ -46,6 +46,66 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    vectors: DataFrame,
+    queries: list[tuple],
+    k: int = 5,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Arrow/BLAS variant of the brute-force top-k: per Arrow batch, ONE
+    numpy matmul scores the batch against every query, and only per-batch
+    top-k survivor rows leave Python; a final window rank merges batches.
+
+    Same results as ``cosine_topk`` (pinned in pytest). Prefer this path
+    when dim is large (hundreds+): the JVM higher-order-function fold is
+    interpreted per element, while the matmul runs at BLAS speed — the
+    crossover is around dim ~64 on this box. ``queries`` is a driver-side
+    list of (q_id, q_vec) (the query set is small by definition — it is
+    broadcast as numpy constants inside the UDF closure).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = np.array([q[1] for q in queries], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = StructType([
+        StructField("q_id", LongType()),
+        StructField(key, LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            ids = pdf[key].to_numpy()
+            cos = (m @ q_mat.T) / (
+                np.linalg.norm(m, axis=1)[:, None] * q_norm[None, :]
+            )
+            # per-batch top-k per query: ship k rows/query/batch, not the batch
+            rows = []
+            kk = min(k, len(ids))
+            for qi in range(len(q_ids)):
+                top = np.argpartition(-cos[:, qi], kk - 1)[:kk]
+                rows.append(pd.DataFrame({
+                    "q_id": q_ids[qi], key: ids[top], "cosine": cos[top, qi],
+                }))
+            yield pd.concat(rows, ignore_index=True)
+
+    survivors = vectors.select(key, vec).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(key))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", key, "rank", "cosine")
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame, c: int = 16, vec: str = "embedding", iters: int = 3
 ) -> list[list[float]]:

@@ -206,3 +206,24 @@ def test_ivf_list_partition_pruning(spark, tmp_path):
     want = {r["vec_id"] for r in ivf_assign(df, cents)
             .filter(F.col("ivf_list").isin([0, 2])).collect()}
     assert {r["vec_id"] for r in probe.collect()} == want
+
+
+def test_cosine_topk_arrow_matches_jvm(spark):
+    """The BLAS mapInPandas top-k must rank identically to the JVM
+    higher-order-function path (same tie order (cosine desc, vec_id))."""
+    from geo_epic_spark.operators.similarity import cosine_topk_arrow
+
+    v = _vectors(n=60, dim=16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter("vec_id < 4").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    jvm = cosine_topk(df, queries, k=7).toPandas().sort_values(
+        ["q_id", "rank"]).reset_index(drop=True)
+    qlist = [(r["q_id"], list(r["q_vec"])) for r in queries.collect()]
+    arrow = cosine_topk_arrow(df.repartition(5), qlist, k=7).toPandas().sort_values(
+        ["q_id", "rank"]).reset_index(drop=True)
+    assert jvm[["q_id", "vec_id", "rank"]].equals(arrow[["q_id", "vec_id", "rank"]])
+    np.testing.assert_allclose(jvm["cosine"], arrow["cosine"], atol=1e-12)
