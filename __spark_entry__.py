@@ -1803,6 +1803,65 @@ def _sql_video_frames() -> str:
     """
 
 
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resample stage (8 kHz -> 6 kHz linear interpolation) through the
+    real byte path: synth clips -> resample_audio -> decode -> per-clip
+    sample count, exact int64 sample sum and rms. The oracle mirrors the
+    interpolation arithmetic in SQL — position/floor/frac/lerp use the same
+    IEEE double expressions, so even position-rounding edge cases agree
+    bit-for-bit. (Ties at exactly .5 are the only rint-vs-round divergence
+    and cannot occur: frac is a multiple of 1/3.)"""
+    from geo_epic_spark import media
+
+    a = media.synth_audio_df(spark, N_AUDIO)
+    r = media.resample_audio(a, target_sr=6000)
+    f = r.select("audio_id", "n_samples", media.audio_features("bytes", "sr").alias("f"))
+    return f.select(
+        "audio_id", "n_samples",
+        F.round("f.rms", 6).alias("rms"),
+        F.col("f.peak").alias("peak"),
+    )
+
+
+def _sql_audio_resample() -> str:
+    from geo_epic_spark.media import A_M1, A_M2, AUDIO_SAMPLES
+
+    n_out = int(round(AUDIO_SAMPLES * 6000 / 8000.0))
+    step = "(CAST(8000 AS DOUBLE) / 6000)"
+    sval = "(((i * {m1} + {k} * {m2} + 77) % 65536) - 32768)"
+    s0 = sval.format(m1=A_M1, m2=A_M2, k="i0")
+    s1 = sval.format(m1=A_M1, m2=A_M2, k="i1")
+    return f"""
+    WITH pos AS (
+      SELECT i, k2, CAST(k2 AS DOUBLE) * {step} AS p
+      FROM (SELECT unnest(range({N_AUDIO})) AS i),
+           (SELECT unnest(range({n_out})) AS k2)
+    ),
+    idx AS (
+      SELECT i, k2, p,
+             least(greatest(CAST(floor(p) AS BIGINT), 0), {AUDIO_SAMPLES - 1}) AS i0
+      FROM pos
+    ),
+    lerp AS (
+      SELECT i, k2,
+             least(i0 + 1, {AUDIO_SAMPLES - 1}) AS i1,
+             i0,
+             least(greatest(p - i0, 0.0), 1.0) AS frac
+      FROM idx
+    ),
+    samp AS (
+      SELECT i, k2,
+             CAST(round({s0} * (1.0 - frac) + {s1} * frac) AS BIGINT) AS v
+      FROM lerp
+    )
+    SELECT printf('aud%09d', i) AS audio_id,
+           CAST({n_out} AS INTEGER) AS n_samples,
+           round(sqrt(sum(v * v) / CAST({n_out} AS DOUBLE)), 6) AS rms,
+           CAST(max(abs(v)) AS INTEGER) AS peak
+    FROM samp GROUP BY i
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1860,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_dedup": q_phash_dedup,
         "q_image_invariants": q_image_invariants,
         "q_audio_features": q_audio_features,
+        "q_audio_resample": q_audio_resample,
         "q_video_frames": q_video_frames,
     }
 
@@ -1909,5 +1969,6 @@ def oracle_sql() -> dict[str, str]:
         "q_phash_dedup": _sql_phash_dedup(),
         "q_image_invariants": _sql_image_invariants(),
         "q_audio_features": _sql_audio_features(),
+        "q_audio_resample": _sql_audio_resample(),
         "q_video_frames": _sql_video_frames(),
     }
