@@ -97,6 +97,55 @@ def cmd_workspace_run(a) -> int:
     return 0
 
 
+def cmd_dedup_minhash(a) -> int:
+    from geo_epic_spark.operators.dedup import minhash_lsh_pairs
+
+    spark = _spark(a.cpus)
+    docs = spark.read.parquet(a.docs)
+    out = minhash_lsh_pairs(docs, threshold=a.threshold,
+                            partitions=a.partitions or None)
+    out.write.mode("overwrite").parquet(a.out)
+    print(json.dumps({"cmd": "dedup minhash",
+                      "pairs": spark.read.parquet(a.out).count()}))
+    return 0
+
+
+def cmd_dedup_exact(a) -> int:
+    from geo_epic_spark.operators.dedup import exact_dedup
+
+    spark = _spark(a.cpus)
+    docs = spark.read.parquet(a.docs)
+    exact_dedup(docs).write.mode("overwrite").parquet(a.out)
+    print(json.dumps({"cmd": "dedup exact",
+                      "rows": spark.read.parquet(a.out).count()}))
+    return 0
+
+
+def cmd_media_resize(a) -> int:
+    from geo_epic_spark.images.udfs import resize_images
+
+    spark = _spark(a.cpus)
+    imgs = spark.read.parquet(a.images)
+    resize_images(imgs, target=a.target).write.mode("overwrite").parquet(a.out)
+    print(json.dumps({"cmd": "media resize",
+                      "rows": spark.read.parquet(a.out).count()}))
+    return 0
+
+
+def cmd_media_audio_features(a) -> int:
+    from geo_epic_spark.media import audio_features
+
+    spark = _spark(a.cpus)
+    aud = spark.read.parquet(a.audio)
+    out = aud.select("audio_id", audio_features("bytes", "sr").alias("f")).select(
+        "audio_id", "f.duration_s", "f.rms", "f.peak", "f.zero_crossings"
+    )
+    out.write.mode("overwrite").parquet(a.out)
+    print(json.dumps({"cmd": "media audio-features",
+                      "rows": spark.read.parquet(a.out).count()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="geo_epic_spark")
     p.add_argument("--cpus", default=None)
@@ -135,6 +184,18 @@ def main(argv: list[str] | None = None) -> int:
          "--out": {"required": True}, "--manifest": {"required": True},
          "--partition-col": {"default": "i", "dest": "partition_col"},
          "--partitions": {"type": int, "default": 16}, **common})
+
+    add("dedup", "minhash", cmd_dedup_minhash,
+        {"--docs": {"required": True}, "--out": {"required": True},
+         "--threshold": {"type": float, "default": 0.5},
+         "--partitions": {"type": int, "default": 0}})
+    add("dedup", "exact", cmd_dedup_exact,
+        {"--docs": {"required": True}, "--out": {"required": True}})
+    add("media", "resize", cmd_media_resize,
+        {"--images": {"required": True}, "--out": {"required": True},
+         "--target": {"type": int, "default": 224}})
+    add("media", "audio-features", cmd_media_audio_features,
+        {"--audio": {"required": True}, "--out": {"required": True}})
 
     a = p.parse_args(argv)
     return a.fn(a)
