@@ -1862,6 +1862,35 @@ def _sql_audio_resample() -> str:
     """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS scheme) over the documents
+    table: md5-60 k-gram hashes, window-min selection, distinct — pure
+    Column expressions mirrored exactly by the DuckDB oracle."""
+    from geo_epic_spark.operators.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=5, w=4)
+
+
+def _sql_winnow_fingerprints() -> str:
+    # DuckDB list slices are INCLUSIVE: s[i:i+4] is the 5-char gram,
+    # gh[j+1:j+4] the 4-hash window
+    return """
+    WITH n AS (SELECT doc_id,
+                      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+               FROM documents),
+    g AS (SELECT doc_id,
+                 [('0x' || substr(md5(s[i:i+4]), 1, 15))::BIGINT
+                  FOR i IN range(1, greatest(len(s) - 5 + 1, 1) + 1)] AS gh
+          FROM n),
+    f AS (SELECT doc_id,
+                 unnest(list_distinct([list_min(gh[j+1:j+4])
+                  FOR j IN range(0, greatest(len(gh) - 4, 0) + 1)])) AS fingerprint
+          FROM g)
+    SELECT doc_id, fingerprint FROM f
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1906,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lai_profile": q_lai_profile,
         "q_lang_id": q_lang_id,
         "q_opc_append": q_opc_append,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
         # approximate / payload / fit operators — oracled via planted ground
         # truth or full SQL reproduction of the approximate semantics
         "q_ivf_topk": q_ivf_topk,
@@ -1958,6 +1988,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": _sql_lang_id(),
         "q_cosine_topk": _sql_cosine_topk(),
         "q_opc_append": _sql_opc_append(),
+        "q_winnow_fingerprints": _sql_winnow_fingerprints(),
         "q_ivf_topk": _sql_ivf_topk(),
         "q_count_seasons": _sql_count_seasons(),
         "q_double_logistic": _sql_double_logistic(),

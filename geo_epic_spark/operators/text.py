@@ -88,3 +88,50 @@ def text_features(df: DataFrame, text: str = "text") -> DataFrame:
             "fingerprint": fingerprint64(t),
         }
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): hash every character k-gram of the normalized text, slide a
+    window of ``w`` consecutive gram hashes, keep each window's minimum,
+    dedup. Guarantee: any shared substring of length >= w + k - 1 between
+    two documents yields at least one shared fingerprint, while only
+    ~2/(w+1) of gram hashes are retained.
+
+    All pure Column expressions (sequence/transform/slice/array_min — JVM
+    whole-stage codegen); output one row per (key, fingerprint). The gram
+    hash is the portable md5-60 (identical in DuckDB), so the driver oracle
+    recomputes the fingerprint set exactly. The classic O(1) Karp-Rabin
+    rolling *computation* of gram hashes is a scalar-loop optimization with
+    no vectorized analog — the fingerprint SET this produces is the same.
+    """
+    out = (
+        df.select(key, F.col(text).alias("__t"))
+        .withColumn("__norm", F.regexp_replace(F.lower(F.trim("__t")), r"\s+", " "))
+        .withColumn(
+            "__gh",
+            F.expr(
+                f"transform(sequence(1, greatest(length(__norm) - {k} + 1, 1)),"
+                f" i -> cast(conv(substring(md5(substring(__norm, i, {k})), 1, 15), 16, 10) as bigint))"
+            ),
+        )
+        .withColumn(
+            "fingerprint",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, greatest(size(__gh) - {w}, 0)),"
+                        f" j -> array_min(slice(__gh, j + 1, {w})))"
+                    )
+                )
+            ),
+        )
+        .select(key, "fingerprint")
+    )
+    return out

