@@ -1891,6 +1891,55 @@ def _sql_winnow_fingerprints() -> str:
     """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pipeline completion: near-dup PAIRS -> CLUSTERS (connected
+    components via min-label propagation) -> every doc labeled with the
+    smallest reachable doc_id (singletons label themselves; canonical keep =
+    cluster_id == doc_id). Oracle = transitive closure as a DuckDB recursive
+    CTE over the exact Jaccard pair set (== the LSH pair set on this corpus,
+    proven by q_minhash_lsh)."""
+    from geo_epic_spark.operators.dedup import cluster_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.125, num_hashes=64, bands=32,
+                              partitions=32)
+    return cluster_pairs(d, pairs)
+
+
+def _sql_dedup_clusters() -> str:
+    return """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct([
+        array_to_string(words[i:i+2], ' ')
+        FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+      ])) AS shingle
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT s.id_a, s.id_b FROM shared s
+      JOIN sizes sa ON s.id_a = sa.doc_id
+      JOIN sizes sb ON s.id_b = sb.doc_id
+      WHERE s.inter * 1.0 / (sa.sz + sb.sz - s.inter) >= 0.125
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1936,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_opc_append": q_opc_append,
         "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_dedup_clusters": q_dedup_clusters,
         # approximate / payload / fit operators — oracled via planted ground
         # truth or full SQL reproduction of the approximate semantics
         "q_ivf_topk": q_ivf_topk,
@@ -1989,6 +2039,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cosine_topk": _sql_cosine_topk(),
         "q_opc_append": _sql_opc_append(),
         "q_winnow_fingerprints": _sql_winnow_fingerprints(),
+        "q_dedup_clusters": _sql_dedup_clusters(),
         "q_ivf_topk": _sql_ivf_topk(),
         "q_count_seasons": _sql_count_seasons(),
         "q_double_logistic": _sql_double_logistic(),

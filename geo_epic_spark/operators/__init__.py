@@ -1,4 +1,5 @@
 from geo_epic_spark.operators.dedup import (  # noqa: F401
+    cluster_pairs,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,

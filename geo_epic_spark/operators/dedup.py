@@ -416,3 +416,56 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def cluster_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters (connected components):
+    every document gets ``cluster_id`` = the smallest key reachable through
+    the pair graph (singletons keep their own key). The canonical-keep rule
+    is then one filter: ``cluster_id == key``.
+
+    Algorithm: minimum-label propagation — labels start as the node id and
+    each round takes the min over neighbors' labels; converged when a round
+    changes nothing (one cheap count per round). Near-duplicate clusters
+    are dense (duplicates of one source form near-cliques, diameter <= ~3),
+    so propagation converges in 2-4 rounds regardless of corpus size; at
+    10^12 rows swap in the alternating large-star/small-star variant for
+    adversarial chain-shaped graphs. Each round is one equi-join on the
+    label table + a min aggregate — no all-pairs anywhere.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = df.select(F.col(key).alias("a"), F.col(key).alias("lbl"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("a", "b2"), edges["b"] == F.col("b2"))
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, "a", "left")
+            .select("a", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "a")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias(key), F.col("lbl").alias("cluster_id"))

@@ -248,3 +248,22 @@ def test_winnow_guarantee_shared_substring(spark):
     # density: winnowing keeps far fewer fingerprints than grams
     n_grams = len("prefix one " + shared + " suffix alpha") - k + 1
     assert len(sets[1]) < n_grams / 2
+
+
+def test_cluster_pairs_components(spark):
+    """Connected-component labeling: chains, cliques and singletons all get
+    the min reachable id; canonical keep = (cluster_id == doc_id)."""
+    from geo_epic_spark.operators.dedup import cluster_pairs
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4),      # 5-chain (diameter > 2)
+         (6, 7), (6, 8), (7, 8),              # triangle
+         (10, 11)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6, 8: 6,
+                   9: 9, 10: 10, 11: 10}
+    canon = [k for k, v in got.items() if k == v]
+    assert sorted(canon) == [0, 5, 6, 9, 10]
