@@ -1940,6 +1940,98 @@ def _sql_dedup_clusters() -> str:
     """
 
 
+N_OPC_EDIT = 8
+
+
+def q_edit_crop_season(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Season re-anchoring (`io/opc.py:431-498` edit_crop_season parity):
+    per-site schedules re-anchored to shifted plant/harvest dates — anchors
+    exact, middle ops stretched with int truncation, pre/post ops keeping
+    their day offsets. The oracle derives every output date independently
+    from the generator arithmetic."""
+    from geo_epic_spark.operators.timeseries import edit_crop_season
+
+    t = F.col("id")
+    site = (t / 6).cast("long")
+    pos = (t % 6 + 1).cast("int")
+    base = F.to_date(F.lit("2020-04-01"))
+    old_plant = F.date_add(base, (site % 10).cast("int") + 9)  # Apr 10 + site%10
+    old_harv = F.date_add(old_plant, (site % 13).cast("int") + 140)
+    date = (
+        F.when(pos == 1, F.date_sub(old_plant, (site % 4).cast("int") + 3))
+        .when(pos == 2, old_plant)
+        .when(pos == 3, F.date_add(old_plant, (site % 7).cast("int") + 20))
+        .when(pos == 4, F.date_add(old_plant, (site % 11).cast("int") + 80))
+        .when(pos == 5, old_harv)
+        .otherwise(F.date_add(old_harv, (site % 3).cast("int") + 2))
+    )
+    code = (
+        F.when(pos == 1, 10).when(pos == 2, 2).when(pos == 3, 100)
+        .when(pos == 4, 110).when(pos == 5, 650).otherwise(120)
+    ).cast("int")
+    ops = spark.range(N_OPC_EDIT * 6).select(
+        site.alias("site_id"), F.lit(2).alias("CRP"), pos.alias("pos"),
+        date.alias("date"), code.alias("CODE"),
+    )
+    sd = F.col("id").cast("long")
+    nd = spark.range(N_OPC_EDIT).select(
+        sd.alias("site_id"), F.lit(2).alias("CRP"),
+        F.date_add(F.date_add(F.to_date(F.lit("2020-04-01")), (sd % 10).cast("int") + 9),
+                   (sd % 5).cast("int") - 2).alias("new_plant"),
+        F.date_add(F.date_add(F.date_add(F.to_date(F.lit("2020-04-01")), (sd % 10).cast("int") + 9),
+                              (sd % 13).cast("int") + 140),
+                   (sd % 7).cast("int") - 3).alias("new_harv"),
+    )
+    out = edit_crop_season(ops, nd, by=["site_id"])
+    return out.select(
+        "site_id", "pos", F.date_format("date", "yyyy-MM-dd").alias("op_date"),
+        "Mn", "Dy",
+    )
+
+
+def _sql_edit_crop_season() -> str:
+    # independent derivation: per pos, the adjusted date in closed form
+    # (old span = 140 + s%13; new span = old span + (s%7-3) - (s%5-2))
+    return f"""
+    WITH g AS (
+      SELECT (t // 6) AS s, (t % 6 + 1) AS pos
+      FROM (SELECT unnest(range({N_OPC_EDIT * 6})) AS t)
+    ),
+    d AS (
+      SELECT s, pos,
+             DATE '2020-04-01' + INTERVAL ((s % 10) + 9) DAY AS op_,
+             (s % 13) + 140 AS span_old,
+             (s % 5) - 2 AS dp,
+             (s % 7) - 3 AS dh
+      FROM g
+    ),
+    e AS (
+      SELECT s, pos, op_,
+             op_ + to_days(CAST(span_old AS INTEGER)) AS oh_,
+             op_ + to_days(CAST(dp AS INTEGER)) AS np_,
+             op_ + to_days(CAST(span_old + dh AS INTEGER)) AS nh_,
+             span_old, span_old + dh - dp AS span_new
+      FROM d
+    ),
+    r AS (
+      SELECT s, pos,
+             CASE pos
+               WHEN 1 THEN np_ - to_days(CAST((s % 4) + 3 AS INTEGER))
+               WHEN 2 THEN np_
+               WHEN 3 THEN np_ + to_days(CAST(floor(((s % 7) + 20) * span_new / span_old) AS INTEGER))
+               WHEN 4 THEN np_ + to_days(CAST(floor(((s % 11) + 80) * span_new / span_old) AS INTEGER))
+               WHEN 5 THEN nh_
+               ELSE nh_ + to_days(CAST((s % 3) + 2 AS INTEGER))
+             END AS nd
+      FROM e
+    )
+    SELECT CAST(s AS BIGINT) AS site_id, CAST(pos AS INTEGER) AS pos,
+           strftime(nd, '%Y-%m-%d') AS op_date,
+           CAST(month(nd) AS INTEGER) AS Mn, CAST(day(nd) AS INTEGER) AS Dy
+    FROM r
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1986,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_opc_append": q_opc_append,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_edit_crop_season": q_edit_crop_season,
         # approximate / payload / fit operators — oracled via planted ground
         # truth or full SQL reproduction of the approximate semantics
         "q_ivf_topk": q_ivf_topk,
@@ -2040,6 +2133,7 @@ def oracle_sql() -> dict[str, str]:
         "q_opc_append": _sql_opc_append(),
         "q_winnow_fingerprints": _sql_winnow_fingerprints(),
         "q_dedup_clusters": _sql_dedup_clusters(),
+        "q_edit_crop_season": _sql_edit_crop_season(),
         "q_ivf_topk": _sql_ivf_topk(),
         "q_count_seasons": _sql_count_seasons(),
         "q_double_logistic": _sql_double_logistic(),

@@ -211,3 +211,105 @@ def interpolate_daily(
         .otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac)
     )
     return full.withColumn(f"{value}_interp", interp).drop("__pv", "__pd", "__nv", "__nd")
+
+
+PLANT_CODES = (2, 3)
+HARVEST_CODE = 650
+
+
+def edit_crop_season(
+    ops: DataFrame,
+    new_dates: DataFrame,
+    by: list[str] | None = None,
+    pos: str = "pos",
+    date: str = "date",
+    crop: str = "CRP",
+    code: str = "CODE",
+) -> DataFrame:
+    """Re-anchor a crop season to new planting/harvest dates, set-at-a-time
+    (`io/opc.py:431-498` `edit_crop_season` + `_stretch_middle_operations`,
+    `:365-428` pre/post adjusters — the reference edits one schedule in a
+    pandas loop; here every (group, crop) season adjusts in one pass of
+    window expressions):
+
+    * the plantation row (CODE in 2/3) and harvest row (CODE 650) move to
+      the new dates exactly;
+    * operations strictly BETWEEN them (by file position) stretch linearly:
+      ``new = new_plant + floor(days_from_old_plant * new_span / old_span)``
+      (int truncation matches the reference's ``astype(int)``);
+    * pre-planting ops (date <= old_plant, >= new_plant - 14d) keep their
+      day offset, compressed so the max offset maps to 14 days
+      (``ceil(off / max_off * 14)``) when it exceeds 14;
+    * post-harvest ops mirror the same rule after the harvest row.
+
+    ``new_dates``: one row per (by..., crop) with ``new_plant``/``new_harv``
+    DateType columns — broadcast onto the ops stream (the fact side never
+    shuffles on more than the season key). Winter-crop cross-year seasons
+    are out of scope here (pair with ``pair_seasons`` first).
+    Output: input columns with ``date``/``Mn``/``Dy`` rewritten.
+    """
+    by = by or []
+    keys = [*by, crop]
+    joined = ops.join(F.broadcast(new_dates), on=keys, how="left")
+    w = Window.partitionBy(*keys)
+    is_plant = F.col(code).isin(*PLANT_CODES)
+    is_harv = F.col(code) == HARVEST_CODE
+    old_plant = F.max(F.when(is_plant, F.col(date))).over(w)
+    old_harv = F.max(F.when(is_harv, F.col(date))).over(w)
+    plant_pos = F.max(F.when(is_plant, F.col(pos))).over(w)
+    harv_pos = F.max(F.when(is_harv, F.col(pos))).over(w)
+
+    d = joined.withColumns({
+        "__op": old_plant, "__oh": old_harv,
+        "__pp": plant_pos, "__hp": harv_pos,
+    })
+    have = (
+        F.col("new_plant").isNotNull() & F.col("new_harv").isNotNull()
+        & F.col("__op").isNotNull() & F.col("__oh").isNotNull()
+    )
+    old_span = F.datediff(F.col("__oh"), F.col("__op"))
+    new_span = F.datediff(F.col("new_harv"), F.col("new_plant"))
+    middle = (F.col(pos) > F.col("__pp")) & (F.col(pos) < F.col("__hp"))
+    stretched = F.date_add(
+        F.col("new_plant"),
+        F.floor(
+            F.datediff(F.col(date), F.col("__op")) * new_span
+            / F.greatest(old_span, F.lit(1))
+        ).cast("int"),
+    )
+    pre_cand = (
+        (F.col(date) <= F.col("__op"))
+        & (F.col(date) >= F.date_sub(F.col("new_plant"), 14))
+        & (F.col(pos) != F.col("__pp")) & ~middle
+    )
+    pre_off = F.datediff(F.col("__op"), F.col(date))
+    pre_max = F.max(F.when(pre_cand, pre_off)).over(w)
+    pre_scaled = F.when(
+        pre_max > 14, F.ceil(pre_off / pre_max * 14)
+    ).otherwise(pre_off).cast("int")
+    post_cand = (
+        (F.col(date) >= F.col("__oh"))
+        & (F.col(date) <= F.date_add(F.col("new_harv"), 14))
+        & (F.col(pos) != F.col("__hp")) & ~middle
+    )
+    post_off = F.datediff(F.col(date), F.col("__oh"))
+    post_max = F.max(F.when(post_cand, post_off)).over(w)
+    post_scaled = F.when(
+        post_max > 14, F.ceil(post_off / post_max * 14)
+    ).otherwise(post_off).cast("int")
+
+    new_date = (
+        F.when(~have, F.col(date))
+        .when(F.col(pos) == F.col("__pp"), F.col("new_plant"))
+        .when(F.col(pos) == F.col("__hp"), F.col("new_harv"))
+        .when(middle, stretched)
+        .when(pre_cand, F.date_sub(F.col("new_plant"), pre_scaled))
+        .when(post_cand, F.date_add(F.col("new_harv"), post_scaled))
+        .otherwise(F.col(date))
+    )
+    out = d.withColumn("__nd", new_date).withColumns({
+        date: F.col("__nd"),
+        "Mn": F.month("__nd"),
+        "Dy": F.dayofmonth("__nd"),
+    })
+    return out.drop("__op", "__oh", "__pp", "__hp", "__nd", "new_plant", "new_harv")

@@ -141,3 +141,73 @@ def test_interpolate_daily_linear(spark):
         interpolate_daily(df, "v", ["g"]).toPandas().sort_values("date").reset_index(drop=True)
     )
     np.testing.assert_allclose(got.v_interp.to_numpy(), [10, 12, 14, 16, 18, 18, 18])
+
+
+def test_edit_crop_season_stretch_and_adjust(spark):
+    """`io/opc.py:431-498` parity on a hand-computed schedule: anchors move
+    exactly, middle ops stretch linearly with int truncation, pre/post ops
+    keep (or compress) their day offsets, other groups pass through."""
+    import datetime as dt
+
+    from geo_epic_spark.operators.timeseries import edit_crop_season
+
+    D = dt.date
+    ops = spark.createDataFrame([
+        ("a", 2, 1, D(2020, 4, 10), 10),   # pre-plant op, 5 days before
+        ("a", 2, 2, D(2020, 4, 15), 2),    # plantation
+        ("a", 2, 3, D(2020, 5, 15), 100),  # middle: 30d from plant
+        ("a", 2, 4, D(2020, 8, 15), 110),  # middle: 122d (old span 153)
+        ("a", 2, 5, D(2020, 9, 15), 650),  # harvest
+        ("a", 2, 6, D(2020, 9, 17), 120),  # post-harvest +2d
+        ("b", 2, 1, D(2020, 4, 1), 2),     # other site: no new_dates row
+        ("b", 2, 2, D(2020, 9, 1), 650),
+    ], "site string, CRP int, pos int, date date, CODE int")
+    nd = spark.createDataFrame(
+        [("a", 2, D(2020, 4, 20), D(2020, 9, 20))],
+        "site string, CRP int, new_plant date, new_harv date",
+    )
+    out = {(r["site"], r["pos"]): str(r["date"])
+           for r in edit_crop_season(ops, nd, by=["site"]).collect()}
+    assert out[("a", 2)] == "2020-04-20"            # plantation anchor
+    assert out[("a", 5)] == "2020-09-20"            # harvest anchor
+    # new span == old span (153d) -> middle ops shift by +5d
+    assert out[("a", 3)] == "2020-05-20"
+    assert out[("a", 4)] == "2020-08-20"
+    assert out[("a", 1)] == "2020-04-15"            # pre: offset 5 kept
+    assert out[("a", 6)] == "2020-09-22"            # post: offset 2 kept
+    assert out[("b", 1)] == "2020-04-01"            # untouched group
+    assert out[("b", 2)] == "2020-09-01"
+    # Mn/Dy rewritten consistently
+    row = [r for r in edit_crop_season(ops, nd, by=["site"]).collect()
+           if r["site"] == "a" and r["pos"] == 3][0]
+    assert (row["Mn"], row["Dy"]) == (5, 20)
+
+
+def test_edit_crop_season_offset_compression(spark):
+    """Pre-planting offsets compress when the max exceeds 14 days
+    (ceil(off / max_off * 14)); ops outside [new_plant - 14, old_plant]
+    are untouched — the reference's candidate window."""
+    import datetime as dt
+
+    from geo_epic_spark.operators.timeseries import edit_crop_season
+
+    D = dt.date
+    ops = spark.createDataFrame([
+        ("a", 2, 1, D(2020, 4, 5), 10),    # outside window (< 04-11)
+        ("a", 2, 2, D(2020, 4, 12), 11),   # off 19 from old plant
+        ("a", 2, 3, D(2020, 4, 28), 12),   # off 3
+        ("a", 2, 4, D(2020, 5, 1), 2),     # plantation -> 04-25
+        ("a", 2, 5, D(2020, 9, 1), 650),   # harvest unchanged
+    ], "site string, CRP int, pos int, date date, CODE int")
+    nd = spark.createDataFrame(
+        [("a", 2, D(2020, 4, 25), D(2020, 9, 1))],
+        "site string, CRP int, new_plant date, new_harv date",
+    )
+    out = {r["pos"]: str(r["date"])
+           for r in edit_crop_season(ops, nd, by=["site"]).collect()}
+    assert out[1] == "2020-04-05"                   # outside the window
+    # max candidate offset 19 > 14: ceil(19/19*14)=14 -> 04-25 - 14 = 04-11
+    assert out[2] == "2020-04-11"
+    # ceil(3/19*14) = ceil(2.21) = 3 -> 04-22
+    assert out[3] == "2020-04-22"
+    assert out[4] == "2020-04-25" and out[5] == "2020-09-01"
