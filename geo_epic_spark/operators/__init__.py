@@ -38,6 +38,7 @@ from geo_epic_spark.operators.spatial import (  # noqa: F401
     zonal_stats,
 )
 from geo_epic_spark.operators.timeseries import (  # noqa: F401
+    build_opc_schedules,
     edit_crop_season,
     envelope_clip,
     heat_units,

@@ -313,3 +313,52 @@ def edit_crop_season(
         "Dy": F.dayofmonth("__nd"),
     })
     return out.drop("__op", "__oh", "__pp", "__hp", "__nd", "new_plant", "new_harv")
+
+
+def build_opc_schedules(
+    crop_data: DataFrame,
+    templates: DataFrame,
+    start_year: int,
+    site: str = "site_id",
+) -> DataFrame:
+    """Build multi-year operation schedules from a year-wise crop sequence
+    plus per-crop template schedules (`opc/generate_opc.py:60-201` flow):
+
+    1. join each (site, year, crop_code) to its crop template (broadcast —
+       templates are a small dim);
+    2. ``Yid = year - start_year + 1``; template ops keep their file order;
+    3. where the crop row carries planting/harvest dates, re-anchor the
+       season with ``edit_crop_season`` (stretch/adjust semantics).
+
+    ``crop_data``: (site, year, crop_code[, planting_date, harvest_date]).
+    ``templates``: (crop_code, pos, Mn, Dy, CODE[, OPV...]); template dates
+    materialize in each target year. Output: one ops row per
+    (site, year, template op) with Yid/date/Mn/Dy set.
+    """
+    has_dates = (
+        "planting_date" in crop_data.columns and "harvest_date" in crop_data.columns
+    )
+    joined = crop_data.join(F.broadcast(templates), on="crop_code", how="inner")
+    ops = joined.withColumns({
+        "Yid": (F.col("year") - start_year + 1).cast("int"),
+        "date": F.make_date(F.col("year"), F.col("Mn"), F.col("Dy")),
+    })
+    if not has_dates:
+        return ops
+    nd = (
+        crop_data.filter(
+            F.col("planting_date").isNotNull() & F.col("harvest_date").isNotNull()
+        )
+        .select(
+            site, "year",
+            F.col("crop_code").alias("CRP"),
+            F.col("planting_date").alias("new_plant"),
+            F.col("harvest_date").alias("new_harv"),
+        )
+    )
+    adjusted = edit_crop_season(
+        ops.withColumnRenamed("crop_code", "CRP"),
+        nd,
+        by=[site, "year"],
+    )
+    return adjusted.withColumnRenamed("CRP", "crop_code")

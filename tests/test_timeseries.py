@@ -211,3 +211,38 @@ def test_edit_crop_season_offset_compression(spark):
     # ceil(3/19*14) = ceil(2.21) = 3 -> 04-22
     assert out[3] == "2020-04-22"
     assert out[4] == "2020-04-25" and out[5] == "2020-09-01"
+
+
+def test_build_opc_schedules_composition(spark):
+    """generate_opc flow: crop sequence x templates -> Yid'd ops with
+    per-season re-anchoring where dates are provided."""
+    import datetime as dt
+
+    from geo_epic_spark.operators.timeseries import build_opc_schedules
+
+    D = dt.date
+    crop_data = spark.createDataFrame([
+        ("s1", 2019, 41, D(2019, 5, 10), D(2019, 10, 1)),
+        ("s1", 2020, 81, None, None),            # template dates as-is
+        ("s2", 2019, 41, D(2019, 4, 25), D(2019, 9, 20)),
+    ], "site_id string, year int, crop_code int, planting_date date, harvest_date date")
+    templates = spark.createDataFrame([
+        (41, 1, 4, 30, 2), (41, 2, 7, 1, 100), (41, 3, 9, 30, 650),
+        (81, 1, 5, 5, 2), (81, 2, 10, 10, 650),
+    ], "crop_code int, pos int, Mn int, Dy int, CODE int")
+    out = build_opc_schedules(crop_data, templates, start_year=2019)
+    rows = {(r["site_id"], r["year"], r["pos"]): r for r in out.collect()}
+    assert len(rows) == 8
+    # Yid assignment
+    assert rows[("s1", 2019, 1)]["Yid"] == 1 and rows[("s1", 2020, 1)]["Yid"] == 2
+    # re-anchored season: plantation moves to the crop_data date
+    assert str(rows[("s1", 2019, 1)]["date"]) == "2019-05-10"
+    assert str(rows[("s1", 2019, 3)]["date"]) == "2019-10-01"
+    # middle op stretched: old span 04-30 -> 09-30 = 153d, op at 62d;
+    # new span 05-10 -> 10-01 = 144d; floor(62*144/153) = 58 -> 07-07
+    assert str(rows[("s1", 2019, 2)]["date"]) == "2019-07-07"
+    # no dates provided -> template dates in target year
+    assert str(rows[("s1", 2020, 1)]["date"]) == "2020-05-05"
+    assert str(rows[("s1", 2020, 2)]["date"]) == "2020-10-10"
+    # s2 anchors independent of s1
+    assert str(rows[("s2", 2019, 1)]["date"]) == "2019-04-25"
