@@ -188,6 +188,10 @@ def main() -> None:
                 "queries": {k: v["sec"] for k, v in res.items()},
                 "median": {k: v["median_sec"] for k, v in res.items()},
                 "runs_per_query": N_RUNS,
+                # ambient-noise witness: hypervisor neighbors routinely push
+                # load >10 with zero local processes (see BASELINE.md) —
+                # interpret outlier queries against this
+                "load_avg_1m": round(os.getloadavg()[0], 1),
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "n_images": N_IMG,
                 "rows_per_sec": {
