@@ -67,7 +67,7 @@ def cosine_topk_arrow(
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
-        ArrayType, DoubleType, LongType, StructField, StructType,
+        DoubleType, LongType, StructField, StructType,
     )
 
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
