@@ -136,6 +136,13 @@ def pip_join(
         F.col(poly_id).alias("__pid"),
         F.col(xs).alias("__xs"),
         F.col(ys).alias("__ys"),
+        # per-polygon bbox, computed ONCE on the (small) build side: the
+        # join condition rejects out-of-box candidates with four scalar
+        # compares before paying the O(vertices) ray-cast fold
+        F.array_min(F.col(xs)).alias("__bx0"),
+        F.array_max(F.col(xs)).alias("__bx1"),
+        F.array_min(F.col(ys)).alias("__by0"),
+        F.array_max(F.col(ys)).alias("__by1"),
         *[F.col(c) for c in keep],
         F.explode(cells.cover_polygon(F.col(xs), F.col(ys), res)).alias("__cell"),
     )
@@ -146,8 +153,13 @@ def pip_join(
         # evaluates it while probing, so non-matching candidates never
         # materialize rows carrying the polygon vertex arrays (measurably
         # less memory traffic than join-then-filter at high core counts).
-        cond = (pts["__cell"] == poly_cells["__cell"]) & pip_expr(
-            pts[lon], pts[lat], poly_cells["__xs"], poly_cells["__ys"]
+        # Conjunct order matters: codegen short-circuits left-to-right, so
+        # the bbox compares cull candidates before the HOF fold runs.
+        cond = (
+            (pts["__cell"] == poly_cells["__cell"])
+            & (pts[lon] >= poly_cells["__bx0"]) & (pts[lon] <= poly_cells["__bx1"])
+            & (pts[lat] >= poly_cells["__by0"]) & (pts[lat] <= poly_cells["__by1"])
+            & pip_expr(pts[lon], pts[lat], poly_cells["__xs"], poly_cells["__ys"])
         )
         hit = (
             pts.join(build, cond, "inner")
@@ -156,9 +168,16 @@ def pip_join(
                     *[poly_cells[c] for c in keep])
         )
     else:
-        cand = pts.join(build, "__cell", "inner")
+        cand = pts.join(build, "__cell", "inner").filter(
+            (F.col(lon) >= F.col("__bx0")) & (F.col(lon) <= F.col("__bx1"))
+            & (F.col(lat) >= F.col("__by0")) & (F.col(lat) <= F.col("__by1"))
+        )
         inside = _pip_udf(F.col(lon), F.col(lat), F.col("__pid"), F.col("__xs"), F.col("__ys"))
-        hit = cand.filter(inside).drop("__xs", "__ys", "__cell").withColumnRenamed("__pid", poly_id)
+        hit = (
+            cand.filter(inside)
+            .drop("__xs", "__ys", "__cell", "__bx0", "__bx1", "__by0", "__by1")
+            .withColumnRenamed("__pid", poly_id)
+        )
     if how == "inner":
         return hit
     if how == "left":
