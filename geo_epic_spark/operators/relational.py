@@ -78,14 +78,21 @@ def opc_append(
     per-group offsets come from two tiny aggregates broadcast back onto the
     streams — no window over the fact rows, so the big side never shuffles
     on anything wider than the group key. ``by=None`` treats each input as a
-    single schedule.
+    single schedule. Groups present in only ONE input survive: a
+    first-only group passes through unchanged, a second-only group rebases
+    against an empty first schedule (last year 0, i.e. starts at Yid 1).
     """
     by = by or []
     if by:
         off1 = first.groupBy(*by).agg(F.max("Yid").alias("__last"))
         off2 = second.groupBy(*by).agg(F.min("Yid").alias("__min"))
-        f = first.join(F.broadcast(off1.join(off2, by)), on=by, how="inner")
-        s = second.join(F.broadcast(off1.join(off2, by)), on=by, how="inner")
+        # FULL outer offsets: an inner join would silently drop every group
+        # that appears in only one schedule
+        offs = F.broadcast(off1.join(off2, on=by, how="outer"))
+        f = first.join(offs, on=by, how="left")
+        s = second.join(offs, on=by, how="left").withColumn(
+            "__last", F.coalesce("__last", F.lit(0))
+        )
     else:
         off1 = first.agg(F.max("Yid").alias("__last"))
         off2 = second.agg(F.min("Yid").alias("__min"))

@@ -163,3 +163,16 @@ def test_opc_append_grouped(spark):
     out = opc_append(first, second, by=["site"]).toPandas()
     got = sorted(map(tuple, out[["site", "Yid"]].itertuples(index=False)))
     assert got == [("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2), ("b", 3)]
+
+
+def test_opc_append_disjoint_groups_survive(spark):
+    """Groups present in only one input must not be dropped: first-only
+    passes through, second-only rebases against an empty first (Yid 1...)."""
+    first = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("only_f", 1)], "site string, Yid int")
+    second = spark.createDataFrame(
+        [("a", 5), ("only_s", 3), ("only_s", 4)], "site string, Yid int")
+    out = opc_append(first, second, by=["site"]).toPandas()
+    got = sorted(map(tuple, out[["site", "Yid"]].itertuples(index=False)))
+    assert got == [("a", 1), ("a", 2), ("a", 3),
+                   ("only_f", 1), ("only_s", 1), ("only_s", 2)]
