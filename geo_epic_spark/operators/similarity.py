@@ -82,6 +82,8 @@ def cosine_topk_arrow(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             m = np.stack(pdf[vec].to_numpy()).astype(np.float64)
             ids = pdf[key].to_numpy()
             cos = (m @ q_mat.T) / (
