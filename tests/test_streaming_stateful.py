@@ -96,3 +96,49 @@ def test_stateful_dedup_suppresses_across_batches(spark, tmp_path):
     run_once()
     got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert 14 in got2 and 13 not in got2
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics: after the watermark advances past a window, a
+    late arrival for that window is dropped (state already evicted) — the
+    second micro-batch must not resurrect the finalized count."""
+    in_dir = str(tmp_path / "ev2")
+    ckpt = str(tmp_path / "ck2")
+    out_dir = str(tmp_path / "out2")
+    os.makedirs(in_dir, exist_ok=True)
+    ts = dt.datetime.fromisoformat
+
+    def run_once():
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(in_dir)
+        q = (
+            windowed_event_counts(stream, window_len="10 minutes",
+                                  watermark="20 minutes")
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    # batch 1: one event in the 00:00 window + a sentinel far ahead that
+    # pushes the watermark beyond 00:10 (02:00 - 20min = 01:40)
+    _drop(spark, in_dir, [
+        (1, ts("2024-01-01 00:04:00"), 1.0),
+        (1, ts("2024-01-01 02:00:00"), 1.0),
+    ], EV_SCHEMA)
+    run_once()
+
+    # batch 2: a LATE event for the (already finalized) 00:00 window — the
+    # checkpointed watermark is 01:40, so the row drops BEFORE aggregation:
+    # the window must appear EXACTLY once, with the original count/sum, and
+    # the late 99.0 must never surface anywhere in the output
+    _drop(spark, in_dir, [(1, ts("2024-01-01 00:05:00"), 99.0)], EV_SCHEMA)
+    run_once()
+    import pandas as pd
+
+    got = spark.read.parquet(out_dir).toPandas()
+    w0 = got[got.win_start == pd.Timestamp("2024-01-01 00:00:00")]
+    assert len(w0) == 1, got
+    assert w0.iloc[0]["n_events"] == 1 and w0.iloc[0]["sum_value"] == 1.0
+    assert not (got["sum_value"] == 99.0).any()
