@@ -2032,6 +2032,40 @@ def _sql_edit_crop_season() -> str:
     """
 
 
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation over the events table — the
+    batch twin of streaming.windowed_event_counts (same `window()` bucketing
+    construct) plus §2.7 JSON extraction (`get_json_object` on the props
+    payload, the engine analog of `io/data_logger.py:235-246` /
+    `weather/nldas_ws_gee.py:102-103`)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(
+                F.avg(F.get_json_object("props", "$.k").cast("double")), 6
+            ).alias("avg_k"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n", "sum_value", "avg_k",
+        )
+    )
+
+
+def _sql_windowed_events() -> str:
+    return """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k
+    FROM events GROUP BY 1, 2
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2079,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_dedup_clusters": q_dedup_clusters,
         "q_edit_crop_season": q_edit_crop_season,
+        "q_windowed_events": q_windowed_events,
         # approximate / payload / fit operators — oracled via planted ground
         # truth or full SQL reproduction of the approximate semantics
         "q_ivf_topk": q_ivf_topk,
@@ -2134,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
         "q_winnow_fingerprints": _sql_winnow_fingerprints(),
         "q_dedup_clusters": _sql_dedup_clusters(),
         "q_edit_crop_season": _sql_edit_crop_season(),
+        "q_windowed_events": _sql_windowed_events(),
         "q_ivf_topk": _sql_ivf_topk(),
         "q_count_seasons": _sql_count_seasons(),
         "q_double_logistic": _sql_double_logistic(),
