@@ -2066,6 +2066,91 @@ def _sql_windowed_events() -> str:
     """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join (region -> nation -> customer -> orders ->
+    lineitem -> supplier, with the local-supplier c_nationkey = s_nationkey
+    constraint): dims broadcast onto the single fact-fact join, revenue per
+    nation within a region/year slice. Exercises the multi-dim join chain a
+    100 TB warehouse runs constantly — Catalyst broadcasts every dim, and
+    only lineitem x orders shuffles."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("n_name", "revenue", "n_items")
+    )
+
+
+def _sql_local_supplier_volume() -> str:
+    return """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension rollup (Q14 flavor): revenue and quantity by p_brand
+    for a ship-date year — broadcast part onto lineitem, one partial-agg
+    groupBy."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    pt = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.sum("l_quantity").alias("qty"),
+        )
+        .select("p_brand", "revenue", F.round("qty", 2).alias("qty"))
+    )
+
+
+def _sql_brand_revenue() -> str:
+    return """
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY p_brand
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2114,6 +2199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_edit_crop_season": q_edit_crop_season,
         "q_windowed_events": q_windowed_events,
+        "q_local_supplier_volume": q_local_supplier_volume,
+        "q_brand_revenue": q_brand_revenue,
         # approximate / payload / fit operators — oracled via planted ground
         # truth or full SQL reproduction of the approximate semantics
         "q_ivf_topk": q_ivf_topk,
@@ -2170,6 +2257,8 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_clusters": _sql_dedup_clusters(),
         "q_edit_crop_season": _sql_edit_crop_season(),
         "q_windowed_events": _sql_windowed_events(),
+        "q_local_supplier_volume": _sql_local_supplier_volume(),
+        "q_brand_revenue": _sql_brand_revenue(),
         "q_ivf_topk": _sql_ivf_topk(),
         "q_count_seasons": _sql_count_seasons(),
         "q_double_logistic": _sql_double_logistic(),
