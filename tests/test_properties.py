@@ -170,3 +170,45 @@ def test_minhash_band_recall_monotone_in_bands(threshold_seed, num_hashes_pow):
     r = nh // b
     recall = 1.0 - (1.0 - thr ** r) ** b
     assert recall >= 0.95 or b == nh
+
+
+@given(st.integers(0, 10_000), st.integers(0, 25))
+@settings(max_examples=10, deadline=None)
+def test_cluster_pairs_matches_bfs_oracle(spark, seed, n_edges):
+    """Connected-component labels from min-label propagation equal a
+    driver-side BFS closure on random graphs (including chains whose
+    diameter exceeds one propagation round)."""
+    from geo_epic_spark.operators.dedup import cluster_pairs
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 14
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(n_edges, 2))
+             if a != b]
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    ).filter("id_a != id_b")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in cluster_pairs(docs, pairs).collect()}
+    # BFS oracle
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for i in range(n):
+        if i in want:
+            continue
+        comp, stack = [], [i]
+        seen = {i}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            want[u] = m
+    assert got == want, (edges, got, want)
