@@ -2151,6 +2151,68 @@ def _sql_brand_revenue() -> str:
     """
 
 
+def q_bbox_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-aligned containment join (P6 bbox clip, `utils/crop_csb.py:23-35`):
+    image centers vs per-field bounding boxes via the codegen four-compare
+    bbox_join (~10x the ray-cast per candidate; half-open edges so adjacent
+    boxes never double-count). Oracle = the plain containment predicate."""
+    from geo_epic_spark.operators.spatial import bbox_join
+
+    pts = synth.images_meta_df(spark, 4000).select("i", "cx", "cy")
+    boxes = synth.fields_df(spark, 150).select(
+        "poly_id",
+        F.array_min("xs").alias("x0"), F.array_min("ys").alias("y0"),
+        F.array_max("xs").alias("x1"), F.array_max("ys").alias("y1"),
+    )
+    out = bbox_join(pts, boxes, res=0.05, lon="cx", lat="cy")
+    return out.select("i", "poly_id")
+
+
+def _sql_bbox_clip() -> str:
+    return f"""
+    WITH pts AS ({synth.images_meta_sql(4000)}),
+         f AS ({synth.fields_sql(150)}),
+         boxes AS (
+           SELECT poly_id, x0, y0, x1, y1 FROM f
+         )
+    SELECT p.i, b.poly_id
+    FROM pts p JOIN boxes b
+      ON p.cx >= b.x0 AND p.cx < b.x1 AND p.cy >= b.y0 AND p.cy < b.y1
+    """
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality heuristic per doc (length band, alpha ratio, mean word
+    length band) — pure Column arithmetic, mirrored term-for-term in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def _sql_quality_scores() -> str:
+    return """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               AS n_alpha,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_words
+      FROM documents
+    )
+    SELECT doc_id,
+           round((
+             CASE WHEN n BETWEEN 50 AND 5000 THEN 1.0
+                  WHEN n < 50 THEN n / 50.0
+                  ELSE greatest(0.0, 1.0 - (n - 5000) / 5000.0) END
+             + n_alpha / greatest(n, 1.0)
+             + CASE WHEN n / greatest(n_words, 1.0) BETWEEN 3 AND 12
+                    THEN 1.0 ELSE 0.5 END
+           ) / 3.0, 6) AS quality
+    FROM t
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2201,6 +2263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_windowed_events": q_windowed_events,
         "q_local_supplier_volume": q_local_supplier_volume,
         "q_brand_revenue": q_brand_revenue,
+        "q_bbox_clip": q_bbox_clip,
+        "q_quality_scores": q_quality_scores,
         # approximate / payload / fit operators — oracled via planted ground
         # truth or full SQL reproduction of the approximate semantics
         "q_ivf_topk": q_ivf_topk,
@@ -2259,6 +2323,8 @@ def oracle_sql() -> dict[str, str]:
         "q_windowed_events": _sql_windowed_events(),
         "q_local_supplier_volume": _sql_local_supplier_volume(),
         "q_brand_revenue": _sql_brand_revenue(),
+        "q_bbox_clip": _sql_bbox_clip(),
+        "q_quality_scores": _sql_quality_scores(),
         "q_ivf_topk": _sql_ivf_topk(),
         "q_count_seasons": _sql_count_seasons(),
         "q_double_logistic": _sql_double_logistic(),
