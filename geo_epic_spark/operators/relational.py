@@ -97,7 +97,14 @@ def opc_append(
         off1 = first.agg(F.max("Yid").alias("__last"))
         off2 = second.agg(F.min("Yid").alias("__min"))
         f = first.crossJoin(F.broadcast(off1)).crossJoin(F.broadcast(off2))
-        s = second.crossJoin(F.broadcast(off1)).crossJoin(F.broadcast(off2))
+        # max() over an empty `first` is NULL — coalesce to 0 so an empty
+        # first schedule means "second starts at Yid 1", matching the
+        # grouped branch's empty-first semantics (r2 advisory finding).
+        s = (
+            second.crossJoin(F.broadcast(off1))
+            .crossJoin(F.broadcast(off2))
+            .withColumn("__last", F.coalesce("__last", F.lit(0)))
+        )
     rebased = s.withColumn(
         "Yid",
         F.when(F.col("__min") == 0, F.col("Yid") + F.col("__last")).otherwise(

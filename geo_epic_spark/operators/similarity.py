@@ -89,11 +89,20 @@ def cosine_topk_arrow(
             cos = (m @ q_mat.T) / (
                 np.linalg.norm(m, axis=1)[:, None] * q_norm[None, :]
             )
-            # per-batch top-k per query: ship k rows/query/batch, not the batch
+            # per-batch top-k per query: ship k rows/query/batch, not the
+            # batch. Tie handling must match the final (cosine desc, key
+            # asc) window rank: argpartition alone breaks ties arbitrarily
+            # and can drop the lower-key member of a tie inside a batch, so
+            # survivors are picked from ALL rows at or above the k-th score
+            # with a lexsort tie-break (O(n) partition + O(m log m) on the
+            # tie set only).
             rows = []
             kk = min(k, len(ids))
             for qi in range(len(q_ids)):
-                top = np.argpartition(-cos[:, qi], kk - 1)[:kk]
+                part = np.argpartition(-cos[:, qi], kk - 1)[:kk]
+                thresh = cos[part, qi].min()
+                cand = np.flatnonzero(cos[:, qi] >= thresh)
+                top = cand[np.lexsort((ids[cand], -cos[cand, qi]))[:kk]]
                 rows.append(pd.DataFrame({
                     "q_id": q_ids[qi], key: ids[top], "cosine": cos[top, qi],
                 }))
@@ -116,13 +125,17 @@ def kmeans_centroids(
 
     Sampling uses a seeded Bernoulli ``sample()`` so every partition
     contributes — ``limit(n)`` would take the first partitions only, a
-    biased (often single-file) sample at 100 TB."""
+    biased (often single-file) sample at 100 TB. The cap back to 4096 rows
+    happens DRIVER-side after toPandas (the expected sample is only ~8k
+    rows), because a distributed ``limit`` after ``sample`` would again
+    take whole early partitions and underrepresent late ones."""
     n = vectors.count()
-    frac = min(1.0, 2.0 * 4096.0 / max(n, 1))  # 2x oversample, then cap at 4096
-    sample = np.array(
-        vectors.select(vec).sample(fraction=frac, seed=7).limit(4096).toPandas()[vec].tolist(),
-        dtype=np.float64,
-    )
+    frac = min(1.0, 2.0 * 4096.0 / max(n, 1))  # 2x oversample, cap driver-side
+    pulled = vectors.select(vec).sample(fraction=frac, seed=7).toPandas()[vec].tolist()
+    sample = np.array(pulled, dtype=np.float64)
+    if len(sample) > 4096:
+        cap_rng = np.random.Generator(np.random.PCG64(11))
+        sample = sample[cap_rng.choice(len(sample), size=4096, replace=False)]
     rng = np.random.Generator(np.random.PCG64(7))
     cents = sample[rng.choice(len(sample), size=min(c, len(sample)), replace=False)]
     for _ in range(iters):

@@ -417,8 +417,18 @@ def nearest_grid_join(
             # materialize this round and probe for stragglers: dense lattices
             # finish in one round, so paying one count() action here beats
             # shipping a 4-round chained plan of anti-joins that all turn out
-            # empty (measured 3x on the bench grid).
-            done.cache()
+            # empty (measured 3x on the bench grid). Shared via lazily-cleaned
+            # localCheckpoint, not cache(): checkpoint blocks are freed by the
+            # ContextCleaner when the DataFrame is GC'd, so repeated adaptive
+            # calls in a long session don't leak storage (same lifecycle as
+            # dedup.minhash_lsh_pairs).
+            done = done.localCheckpoint(eager=False)
+            results[-1] = done.select(
+                *point_cols,
+                F.col("__gid").alias(grid_id),
+                F.col("__rk").alias("nn_rank"),
+                F.col("__d").alias("nn_dist"),
+            )
             pending_next = pending.join(
                 done.select(*key_cols).distinct(), on=key_cols, how="left_anti"
             )

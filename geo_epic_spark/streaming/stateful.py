@@ -27,13 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def windowed_event_counts(
@@ -65,33 +59,42 @@ def windowed_event_counts(
     )
 
 
-_DEDUP_OUT = StructType([
-    StructField("doc_id", LongType()),
-    StructField("text", StringType()),
-    StructField("first_seen_ts", TimestampType()),
-])
 _DEDUP_STATE = StructType([StructField("seen", LongType())])
 
 
-def _dedup_fn(
-    key, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Emit the lowest-doc_id row of this content group the FIRST time the
-    group is seen across the whole stream; afterwards the state flag
-    suppresses every re-arrival."""
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    if state.exists:
-        return iter(())
-    state.update((1,))
-    best = batch.sort_values("doc_id").iloc[:1]
-    return iter([best[["doc_id", "text", "first_seen_ts"]]])
-
-
-def stateful_dedup_stream(stream: DataFrame, text: str = "text") -> DataFrame:
+def stateful_dedup_stream(
+    stream: DataFrame, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
     """First-seen-wins streaming dedup keyed by a 128-bit content
     fingerprint (same key discipline as the batch ``exact_dedup``: the
     shuffle key is 16 bytes, never the document text). State per distinct
-    content is one long."""
+    content is one long.
+
+    The output schema is the input schema (fingerprint columns dropped), so
+    any (key, text, ...) frame works — column names are NOT hardcoded
+    (r2 advisory finding). The survivor per content group is the lowest
+    ``key`` row of the first micro-batch that sees the group."""
+    if text not in stream.columns or key not in stream.columns:
+        raise ValueError(
+            f"stateful_dedup_stream: input must carry '{key}' and '{text}' "
+            f"columns; got {stream.columns}"
+        )
+    out_cols = list(stream.columns)
+    out_schema = StructType([stream.schema[c] for c in out_cols])
+
+    def _dedup_fn(
+        _k, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # emit the lowest-key row of this content group the FIRST time the
+        # group is seen across the whole stream; afterwards the state flag
+        # suppresses every re-arrival
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            return iter(())
+        state.update((1,))
+        best = batch.sort_values(key).iloc[:1]
+        return iter([best[out_cols]])
+
     # FlatMapGroupsInPandasWithState requires plain grouping attributes, so
     # the fingerprint halves are materialized as columns first
     fp = stream.withColumn("__fp1", F.xxhash64(F.col(text))).withColumn(
@@ -100,7 +103,7 @@ def stateful_dedup_stream(stream: DataFrame, text: str = "text") -> DataFrame:
     keyed = fp.groupBy("__fp1", "__fp2")
     return keyed.applyInPandasWithState(
         _dedup_fn,
-        outputStructType=_DEDUP_OUT,
+        outputStructType=out_schema,
         stateStructType=_DEDUP_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

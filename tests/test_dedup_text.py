@@ -267,3 +267,63 @@ def test_cluster_pairs_components(spark):
                    9: 9, 10: 10, 11: 10}
     canon = [k for k, v in got.items() if k == v]
     assert sorted(canon) == [0, 5, 6, 9, 10]
+
+
+def test_cluster_pairs_star_matches_label_on_chain(spark):
+    """algorithm='star' (large-star/small-star contraction) labels a
+    14-hop chain + triangle + singleton identically to the BFS ground
+    truth; label propagation needs diameter rounds, star needs O(log n)."""
+    from geo_epic_spark.operators.dedup import cluster_pairs
+
+    n = 20
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = [(i, i + 1) for i in range(14)]            # 0..14 chain, diameter 14
+    extra = [(16, 17), (17, 18), (16, 18)]             # triangle
+    pairs = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in cluster_pairs(docs, pairs, algorithm="star").collect()}
+    want = {i: 0 for i in range(15)}
+    want.update({15: 15, 16: 16, 17: 16, 18: 16, 19: 19})
+    assert got == want
+
+
+def test_cluster_pairs_label_extends_budget_on_deep_chain(spark):
+    """A chain deeper than max_iter must NOT return silently-unconverged
+    labels: the loop doubles its budget (with a warning) and still lands on
+    the true component minimum (r2 advisory finding)."""
+    import warnings as w
+
+    from geo_epic_spark.operators.dedup import cluster_pairs
+
+    n = 14
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in cluster_pairs(docs, pairs, max_iter=3).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert any("not converged" in str(c.message) for c in caught)
+
+
+def test_cosine_topk_arrow_deterministic_ties(spark):
+    """Duplicate vectors produce exact cosine ties; the per-batch Arrow
+    top-k must keep the LOWEST-key tie members (matching the JVM path's
+    (cosine desc, vec_id asc) order), independent of partitioning
+    (r2 advisory finding: argpartition alone drops ties arbitrarily)."""
+    from geo_epic_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    # ids 0..9 all share the SAME direction (scaled copies -> cosine == 1.0
+    # with the query); ids 10..19 orthogonal-ish noise
+    rows = [(i, [x * (1.0 + i) for x in base]) for i in range(10)]
+    rows += [(10 + i, [float(i + 1), 0.0, 0.0, 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qlist = [(0, base)]
+    jvm = cosine_topk(df, spark.createDataFrame(
+        [(0, base)], "q_id long, q_vec array<double>"), k=5).toPandas()
+    arrow = cosine_topk_arrow(df.repartition(7), qlist, k=5).toPandas()
+    # ties on cosine=1.0 must resolve to vec_id 0..4 in both paths
+    assert sorted(jvm["vec_id"]) == [0, 1, 2, 3, 4]
+    assert sorted(arrow["vec_id"]) == [0, 1, 2, 3, 4]

@@ -176,3 +176,17 @@ def test_opc_append_disjoint_groups_survive(spark):
     got = sorted(map(tuple, out[["site", "Yid"]].itertuples(index=False)))
     assert got == [("a", 1), ("a", 2), ("a", 3),
                    ("only_f", 1), ("only_s", 1), ("only_s", 2)]
+
+
+def test_opc_append_empty_first_global(spark):
+    """Empty FIRST schedule with by=None: max(Yid) over zero rows is NULL;
+    the global branch must coalesce it to 0 like the grouped branch does,
+    so `second` rebases to Yid starting at 1 instead of going all-NULL
+    (r2 advisory finding)."""
+    empty = spark.createDataFrame([], "Yid int, Mn int, Dy int, CODE int")
+    second = spark.createDataFrame(
+        [(4, 5, 20, 2), (5, 9, 30, 650)], "Yid int, Mn int, Dy int, CODE int")
+    out = opc_append(empty, second, start_year=2000).orderBy("Yid").toPandas()
+    assert out["Yid"].tolist() == [1, 2]
+    assert out["Yr"].tolist() == [2000, 2001]
+    assert out["Yid"].notna().all() and out["date"].notna().all()

@@ -142,3 +142,39 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert len(w0) == 1, got
     assert w0.iloc[0]["n_events"] == 1 and w0.iloc[0]["sum_value"] == 1.0
     assert not (got["sum_value"] == 99.0).any()
+
+
+def test_stateful_dedup_generic_schema(spark, tmp_path):
+    """The dedup state function must adapt to the INPUT schema: custom key/
+    text column names and extra payload columns all pass through; nothing is
+    hardcoded to (doc_id, text, first_seen_ts) (r2 advisory finding)."""
+    in_dir = str(tmp_path / "docs_g")
+    ckpt = str(tmp_path / "ckpt_g")
+    out_dir = str(tmp_path / "out_g")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "img_id long, caption string, lang string, score double"
+    _drop(spark, in_dir, [
+        (20, "a red barn", "en", 0.9),
+        (21, "a red barn", "en", 0.4),   # dup content, higher key -> dropped
+        (22, "ein rotes haus", "de", 0.7),
+    ], schema)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        stateful_dedup_stream(stream, text="caption", key="img_id")
+        .writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out_dir))
+        .outputMode("update").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir).orderBy("img_id").toPandas()
+    assert got["img_id"].tolist() == [20, 22]
+    assert set(got.columns) == {"img_id", "caption", "lang", "score"}
+    assert got.set_index("img_id").loc[20, "score"] == 0.9
+
+    # misuse: missing columns fail fast with a clear error, not a worker KeyError
+    import pytest
+
+    bad = spark.readStream.schema("x long, y string").parquet(in_dir)
+    with pytest.raises(ValueError, match="must carry"):
+        stateful_dedup_stream(bad, text="caption", key="img_id")
