@@ -349,13 +349,48 @@ def simhash_dup_pairs(
     )
 
 
+def planes_bands_for_threshold(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_bands: int = 16,
+    max_planes: int = 16,
+) -> tuple[int, int]:
+    """Derive a hyperplane-LSH (planes, bands) config from the caller's
+    cosine threshold — the analog of ``bands_for_threshold`` for minhash
+    (r2 advisory: the old fixed default sat at 0.51 recall at cosine 0.45
+    where a threshold-aware 4x16 reaches 0.97).
+
+    For a pair at cosine ``s`` the per-hyperplane collision probability is
+    p = 1 - arccos(s)/pi; one band of ``planes`` planes matches with
+    p**planes and ``bands`` independent bands OR-amplify to
+    1 - (1 - p**planes)**bands. The chooser returns the LARGEST plane count
+    (maximum bucket selectivity, fewest false candidates) whose required
+    band count to clear ``target_recall`` at ``threshold`` stays within
+    ``max_bands`` (the replication factor of the shuffle: each row is
+    written ``bands`` times)."""
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    p = 1.0 - math.acos(threshold) / math.pi
+    for planes in range(max_planes, 0, -1):
+        q = p ** planes
+        if q >= target_recall:
+            return planes, 1
+        need = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q))
+        if need <= max_bands:
+            return planes, need
+    return 1, max_bands
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     key: str = "vec_id",
     vec: str = "embedding",
-    planes: int = 12,
-    bands: int = 1,
+    planes: int | None = None,
+    bands: int | None = None,
+    target_recall: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: random-hyperplane LSH bucket join,
     exact cosine verify. Hyperplane normals come from a FIXED-seed PCG64
@@ -371,10 +406,20 @@ def embedding_near_dup_pairs(
     probability for angle θ is 1 - (1 - (1-θ/π)^planes)^bands — tune planes
     down / bands up for lower thresholds. The shuffle key stays (band,
     bucket): each row is replicated ``bands`` times, never all-pairs.
+
+    ``planes``/``bands`` default to the threshold-derived config from
+    ``planes_bands_for_threshold`` (>= ``target_recall`` S-curve recall at
+    ``threshold``), mirroring minhash's ``bands=None`` behavior; pass both
+    explicitly to pin a config.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType
+
+    if planes is None or bands is None:
+        d_planes, d_bands = planes_bands_for_threshold(threshold, target_recall)
+        planes = d_planes if planes is None else planes
+        bands = d_bands if bands is None else bands
 
     dim_df = df.select(F.size(vec).alias("d")).limit(1).collect()
     dim = dim_df[0]["d"]

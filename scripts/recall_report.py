@@ -70,7 +70,8 @@ def report(spark, sf_dir: str) -> list[dict]:
                             lambda s, x: s + x))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda a: a * a), F.lit(0.0),
                             lambda s, x: s + x))
-    for thr, planes, bands in ((0.45, 6, 8), (0.45, 4, 16), (0.35, 6, 8)):
+    for thr, planes, bands in ((0.45, 6, 8), (0.45, 4, 16), (0.35, 6, 8),
+                               (0.45, None, None), (0.35, None, None)):
         exact = {
             (r["id_a"], r["id_b"])
             for r in e1.crossJoin(e2).filter(F.col("id_a") < F.col("id_b"))
@@ -81,8 +82,48 @@ def report(spark, sf_dir: str) -> list[dict]:
                                               planes=planes, bands=bands))
         rec = len(got & exact) / len(exact) if exact else 1.0
         prec = len(got & exact) / len(got) if got else 1.0
+        cfg = f"{planes}px{bands}b" if planes else "auto"
         rows.append({
-            "op": "embedding_lsh", "config": f"thr={thr} {planes}px{bands}b",
+            "op": "embedding_lsh", "config": f"thr={thr} {cfg}",
+            "truth": len(exact), "found": len(got),
+            "recall": round(rec, 4), "precision": round(prec, 4),
+        })
+
+    # --- hyperplane LSH on a corpus WITH planted moderate-cosine pairs ----
+    # (r2 VERDICT item 3 done-criterion): each vector gets a mixed copy
+    # alpha*v + beta*n landing in the cosine 0.4-0.75 belt, so recall at
+    # thresholds 0.35-0.45 is measured on TRUE near-dups, not the noise tail
+    import numpy as np
+
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.Generator(np.random.PCG64(20240817))
+    alphas = np.linspace(0.35, 0.65, len(mat))[rng.permutation(len(mat))]
+    noise = rng.standard_normal(mat.shape)
+    noise *= np.linalg.norm(mat, axis=1, keepdims=True) / np.linalg.norm(
+        noise, axis=1, keepdims=True)
+    mixed = alphas[:, None] * mat + (1.0 - alphas[:, None]) * noise
+    off = int(ids.max()) + 1
+    planted = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(ids, mat)]
+        + [(int(i) + off, [float(x) for x in row]) for i, row in zip(ids, mixed)],
+        "vec_id long, embedding array<double>",
+    )
+    pl1 = planted.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    pl2 = planted.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    for thr in (0.45, 0.35):
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in pl1.crossJoin(pl2).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("c", dot / (na * nb)).filter(F.col("c") >= thr)
+            .select("id_a", "id_b").collect()
+        }
+        got = _pairs(embedding_near_dup_pairs(planted, threshold=thr))
+        rec = len(got & exact) / len(exact) if exact else 1.0
+        prec = len(got & exact) / len(got) if got else 1.0
+        rows.append({
+            "op": "embedding_lsh", "config": f"thr={thr} auto planted",
             "truth": len(exact), "found": len(got),
             "recall": round(rec, 4), "precision": round(prec, 4),
         })

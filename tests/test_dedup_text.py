@@ -327,3 +327,130 @@ def test_cosine_topk_arrow_deterministic_ties(spark):
     # ties on cosine=1.0 must resolve to vec_id 0..4 in both paths
     assert sorted(jvm["vec_id"]) == [0, 1, 2, 3, 4]
     assert sorted(arrow["vec_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_planes_bands_for_threshold_clears_target():
+    """Derived (planes, bands): S-curve recall at the threshold clears the
+    target, band replication stays within the cap, and planes is maximal
+    (the next-larger plane count would need > max_bands bands)."""
+    import math
+
+    from geo_epic_spark.operators.dedup import planes_bands_for_threshold
+
+    for thr in (0.2, 0.35, 0.45, 0.6, 0.8, 0.95, 0.99):
+        p = 1.0 - math.acos(thr) / math.pi
+        planes, bands = planes_bands_for_threshold(thr, 0.95, max_bands=16)
+        recall = 1.0 - (1.0 - p ** planes) ** bands
+        assert recall >= 0.95, (thr, planes, bands, recall)
+        assert 1 <= bands <= 16
+        if planes < 16:
+            q_up = p ** (planes + 1)
+            need_up = math.ceil(math.log(0.05) / math.log(1.0 - q_up))
+            assert need_up > 16, "planes not maximal"
+
+
+def test_embedding_near_dup_auto_config_recall(spark):
+    """Default (None) planes/bands derive from the threshold and recover
+    planted moderate-cosine pairs — the regime where the old fixed default
+    sat at ~0.5 recall (r2 advisory finding)."""
+    import numpy as np
+
+    from geo_epic_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.Generator(np.random.PCG64(99))
+    base = rng.standard_normal((120, 32))
+    alphas = np.linspace(0.42, 0.62, 120)
+    noise = rng.standard_normal(base.shape)
+    noise *= np.linalg.norm(base, axis=1, keepdims=True) / np.linalg.norm(
+        noise, axis=1, keepdims=True)
+    mixed = alphas[:, None] * base + (1 - alphas[:, None]) * noise
+    rows = [(i, [float(x) for x in r]) for i, r in enumerate(base)]
+    rows += [(1000 + i, [float(x) for x in r]) for i, r in enumerate(mixed)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 0.45
+    # exact ground truth (120 originals x their mixes + any natural pairs)
+    m = np.vstack([base, mixed])
+    ids = np.array([r[0] for r in rows])
+    cn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = cn @ cn.T
+    iu = np.triu_indices(len(m), k=1)
+    exact = {(int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+             for a, b in zip(*iu) if cos[a, b] >= thr}
+    got = {(r["id_a"], r["id_b"])
+           for r in embedding_near_dup_pairs(df, threshold=thr).collect()}
+    assert exact, "fixture must plant pairs above threshold"
+    # exact-verify construction: only boundary-cosine FP rounding may differ
+    # between the Spark fold and the numpy oracle
+    precision = len(got & exact) / len(got) if got else 1.0
+    assert precision >= 0.99, precision
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_build_ivf_index_persisted_roundtrip(spark, tmp_path):
+    """build_ivf_index: one-job distributed train + assign + persist.
+    The loaded index reproduces ivf_assign on the same centroids exactly,
+    probe scans prune to the probed list partitions, and the distributed
+    trainer is deterministic across runs on the same layout."""
+    from geo_epic_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids_distributed,
+        load_ivf_index,
+    )
+    from geo_epic_spark.plans.checks import formatted_plan
+
+    v = _vectors(n=300, dim=16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<double>",
+    ).repartition(6)
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(df, path, c=8, iters=2)
+    # deterministic trainer: same input layout -> same centroids
+    again = kmeans_centroids_distributed(df, c=8, iters=2)
+    assert cents == again
+    stored, loaded_cents = load_ivf_index(spark, path)
+    assert loaded_cents == cents
+    # stored assignment == recomputed assignment (no drift through persist)
+    want = {(r["vec_id"], r["ivf_list"]) for r in ivf_assign(df, cents).collect()}
+    got = {(r["vec_id"], int(r["ivf_list"])) for r in stored.collect()}
+    assert got == want
+    # a probe prunes partitions at scan time
+    probe = stored.filter(F.col("ivf_list").isin([0, 3]))
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan
+    # and the persisted index serves top-k queries with zero training actions
+    q = df.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = ivf_topk(stored, q, loaded_cents, k=5, nprobe=4).toPandas()
+    assert set(out["q_id"]) == {0, 1, 2}
+    assert (out.groupby("q_id")["rank"].max() == 5).all()
+
+
+def test_kmeans_distributed_objective_comparable_to_driver(spark):
+    """The distributed trainer's k-means objective (sum of squared distance
+    to the nearest centroid) is no worse than ~1.2x the driver-sample Lloyd
+    on the same data — full-table participation should not LOSE quality."""
+    import numpy as np
+
+    from geo_epic_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_centroids_distributed,
+    )
+
+    v = _vectors(n=400, dim=8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+
+    def objective(cents):
+        c = np.array(cents)
+        d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return d2.min(1).sum()
+
+    obj_driver = objective(kmeans_centroids(df, c=8, iters=3))
+    obj_dist = objective(kmeans_centroids_distributed(df, c=8, iters=3))
+    assert obj_dist <= 1.2 * obj_driver, (obj_dist, obj_driver)

@@ -91,3 +91,49 @@ def test_read_fwf_skiprows_multifile(spark, tmp_path):
     assert len(df) == 2, df
     assert df["Yid"].tolist() == [1, 2]
     assert df["CODE"].tolist() == [100, 200]
+
+
+def test_acm_fixture_roundtrip(spark, tmp_path):
+    """Reference ACM output layout (`geoEpic/io/outputs.py:155-160`,
+    widths [5,5,5]+[9]*24): a reference-shaped fixture reads back through
+    read_fwf with the declared ACM_LAYOUT."""
+    from geo_epic_spark.sources.fixedwidth import ACM_LAYOUT, read_fwf
+
+    assert [w for _, w, _ in ACM_LAYOUT] == [5, 5, 5] + [9] * 24
+    hdr = "   Y  RT# PRCP" + "".join(f"{n:>9}" for n, _, _ in ACM_LAYOUT[3:])
+    row1 = f"{2020:>5}{1:>5}{32.1:>5}" + "".join(
+        f"{(i + 1) * 1.25:>9}" for i in range(24))
+    row2 = f"{2021:>5}{1:>5}{28.4:>5}" + "".join(
+        f"{(i + 2) * 0.5:>9}" for i in range(24))
+    p = tmp_path / "site1.ACM"
+    p.write_text(hdr + "\n" + row1 + "\n" + row2 + "\n")
+    df = read_fwf(spark, str(p), ACM_LAYOUT, skiprows=1).toPandas()
+    assert df["Y"].tolist() == [2020, 2021]
+    assert df["ET"].tolist() == [2.5, 1.5]   # ET is the 2nd 9-wide column
+    assert df["OCPD"].tolist() == [30.0, 12.5]
+
+
+def test_read_epic_output_acy_dgn(spark, tmp_path):
+    """Whitespace-separated EPIC output families (ACY/DGN): skiprows junk,
+    header-line column names, numeric inference, Y/M/D -> Date assembly and
+    the DGN AGB=BIOM-RW derived column (`geoEpic/io/outputs.py:15-21,69-84`).
+    Read distributed, per-file header discipline."""
+    from geo_epic_spark.sources.fixedwidth import read_epic_output
+
+    junk = "".join(f"junk header line {i}\n" for i in range(10))
+    acy = junk + "YR CPNM YLDG YLDF BIOM\n" \
+        "2020 CORN 9.13 0.00 21.50\n2021 SOYB 3.20 0.10 8.75\n"
+    (tmp_path / "a.ACY").write_text(acy)
+    df = read_epic_output(spark, str(tmp_path / "a.ACY"), "ACY").toPandas()
+    assert df["CPNM"].tolist() == ["CORN", "SOYB"]    # string survives
+    assert df["YLDG"].tolist() == [9.13, 3.20]        # numeric cast
+    dgn = junk + "Y M D BIOM RW LAI\n" \
+        "2020 5 1 12.5 2.5 3.1\n2020 5 2 13.0 2.6 3.3\n"
+    d = tmp_path / "dgndir"
+    d.mkdir()
+    (d / "s1.DGN").write_text(dgn)
+    (d / "s2.DGN").write_text(dgn.replace("12.5", "20.0"))
+    out = read_epic_output(spark, str(d), "DGN").toPandas()
+    assert len(out) == 4                              # headers dropped per file
+    assert set(out["Date"]) == {"2020-05-01", "2020-05-02"}
+    assert sorted(out["AGB"]) == [10.0, 10.4, 10.4, 17.5]
