@@ -38,6 +38,11 @@ N_IMG = int(os.environ.get("BENCH_N_IMG", "1000000"))
 N_DECODE = int(os.environ.get("BENCH_N_DECODE", "4000"))
 WARM = os.environ.get("BENCH_WARM", "1") != "0"
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+# ambient-noise gate: hypervisor neighbors idle around load 6-18 on this
+# box (BASELINE.md); retry a query's timed set when the pre-set 1-minute
+# load sample exceeds this
+LOAD_MAX = float(os.environ.get("BENCH_LOAD_MAX", "20"))
+MAX_RETRIES = int(os.environ.get("BENCH_MAX_RETRIES", "1"))
 N_POLY = 2000
 GRID = (200, 320, 0.015625)
 
@@ -153,11 +158,24 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
             # full-size pass, and ambient hypervisor noise spikes individual
             # runs (BENCH_WARM=0 reports a single cold run instead)
             fn()
-            times, n = [], 0
-            for _ in range(max(N_RUNS, 2)):
-                t0 = time.time()
-                n = fn()
-                times.append(time.time() - t0)
+            # noise gate (r2 VERDICT item 9): sample ambient load BEFORE the
+            # timed set (mid-run load includes our own threads and would
+            # self-trigger); when the pre-set sample exceeds BENCH_LOAD_MAX,
+            # re-run the whole timed set up to BENCH_MAX_RETRIES more times
+            # and keep best/median across ALL sets — retries can only
+            # improve, and the JSON records (load, retries) per query so a
+            # polluted measurement is visible instead of silent (r1's
+            # nearest_grid outlier).
+            times, n, loads, retries = [], 0, [], 0
+            while True:
+                loads.append(round(os.getloadavg()[0], 1))
+                for _ in range(max(N_RUNS, 2)):
+                    t0 = time.time()
+                    n = fn()
+                    times.append(time.time() - t0)
+                if loads[-1] <= LOAD_MAX or retries >= MAX_RETRIES:
+                    break
+                retries += 1
             times.sort()
             dt = times[0]
             med = times[len(times) // 2]
@@ -165,7 +183,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
             t0 = time.time()
             n = fn()
             dt = med = time.time() - t0
-        out[name] = {"sec": round(dt, 3), "median_sec": round(med, 3), "result_rows": n}
+            loads, retries = [round(os.getloadavg()[0], 1)], 0
+        out[name] = {
+            "sec": round(dt, 3), "median_sec": round(med, 3), "result_rows": n,
+            "load_pre": loads, "noise_retries": retries,
+        }
         if rows:
             out[name]["rows_per_sec"] = round(rows / dt)
     return out
@@ -192,6 +214,9 @@ def main() -> None:
                 # load >10 with zero local processes (see BASELINE.md) —
                 # interpret outlier queries against this
                 "load_avg_1m": round(os.getloadavg()[0], 1),
+                "load_pre": {k: v["load_pre"] for k, v in res.items()},
+                "noise_retries": {k: v["noise_retries"] for k, v in res.items()},
+                "load_max_gate": LOAD_MAX,
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "n_images": N_IMG,
                 "rows_per_sec": {
