@@ -147,6 +147,9 @@ def invalidate_partitions(
     """Drop manifest rows for the given partitions so the next run recomputes
     exactly those (the re-run primitive the resume test exercises)."""
     m = read_manifest(spark, manifest_path)
-    kept = m.filter(~F.col("partition_id").isin(partition_ids)).cache()
-    kept.count()
+    # eager localCheckpoint (not cache+count): severs lineage so the
+    # overwrite below can't recompute from the file it is replacing even if
+    # blocks were evicted, and the checkpoint blocks are freed by the
+    # ContextCleaner when `kept` is GC'd — no session-lifetime storage leak
+    kept = m.filter(~F.col("partition_id").isin(partition_ids)).localCheckpoint()
     kept.write.mode("overwrite").parquet(manifest_path)
