@@ -58,6 +58,7 @@ def measure(cpus: int) -> dict:
         return pip_join(imgs, flds, res=0.05, lon="cx", lat="cy").count()
 
     # warm-up: full-size run primes JVM JIT, codegen cache, broadcast
+    load_pre = round(os.getloadavg()[0], 1)
     rows = job()
     best = float("inf")
     for _ in range(REPEATS):
@@ -65,7 +66,10 @@ def measure(cpus: int) -> dict:
         job()
         best = min(best, time.time() - t0)
     spark.stop()
-    return {"cpus": cpus, "sec": best, "result_rows": rows}
+    # ambient-noise witness per level: load BEFORE this level's JVM started
+    # is the neighbors' contribution (our own threads inflate it after)
+    return {"cpus": cpus, "sec": best, "result_rows": rows,
+            "load_pre": load_pre}
 
 
 def main() -> None:
@@ -94,6 +98,8 @@ def main() -> None:
         f"rows_per_sec_local{lo}": round(thr_lo),
         f"rows_per_sec_local{hi}": round(thr_hi),
         f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+        f"load_pre_local{lo}": res[lo]["load_pre"],
+        f"load_pre_local{hi}": res[hi]["load_pre"],
     }))
 
 
