@@ -60,15 +60,19 @@ def measure(cpus: int) -> dict:
     # warm-up: full-size run primes JVM JIT, codegen cache, broadcast
     load_pre = round(os.getloadavg()[0], 1)
     rows = job()
-    best = float("inf")
+    reps = []
     for _ in range(REPEATS):
         t0 = time.time()
         job()
-        best = min(best, time.time() - t0)
+        reps.append(round(time.time() - t0, 2))
     spark.stop()
-    # ambient-noise witness per level: load BEFORE this level's JVM started
-    # is the neighbors' contribution (our own threads inflate it after)
-    return {"cpus": cpus, "sec": best, "result_rows": rows,
+    # ambient-noise witnesses per level: load BEFORE this level's JVM started
+    # is the neighbors' contribution (our own threads inflate it after), and
+    # the per-rep spread catches bursts that arrive MID-run — on a quiet box
+    # consecutive reps of this compute-bound job agree within a few percent,
+    # so max/min >> 1 marks the level as contaminated even when load_pre was
+    # low when it launched.
+    return {"cpus": cpus, "sec": min(reps), "reps": reps, "result_rows": rows,
             "load_pre": load_pre}
 
 
@@ -77,8 +81,14 @@ def main() -> None:
         print("RESULT " + json.dumps(measure(int(sys.argv[2]))))
         return
     lo, hi = CPU_LEVELS
+    # Default runs the noise-sensitive HIGH level first: ambient bursts on
+    # this shared box arrive every few minutes, so the level measured first
+    # gets the freshly-observed quiet window; local[8] leaves 24 idle cores
+    # of headroom and tolerates a burst far better than local[32] does.
+    # SCALING_LO_FIRST=1 restores the historical order.
+    order = (lo, hi) if os.environ.get("SCALING_LO_FIRST") else (hi, lo)
     res = {}
-    for cpus in (lo, hi):
+    for cpus in order:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
             capture_output=True, text=True, check=True,
@@ -100,6 +110,8 @@ def main() -> None:
         f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
         f"load_pre_local{lo}": res[lo]["load_pre"],
         f"load_pre_local{hi}": res[hi]["load_pre"],
+        f"reps_local{lo}": res[lo]["reps"],
+        f"reps_local{hi}": res[hi]["reps"],
     }))
 
 
