@@ -1723,6 +1723,174 @@ def _sql_opc_append() -> str:
     """
 
 
+N_OPCV_SITES = 60
+
+
+def _opc_validate_frame(spark: SparkSession) -> DataFrame:
+    """Deterministic OPC schedules with planted violations for every check
+    in ``opc_violations``: site%7==3 drops year 2 (missing-year gap),
+    site%4==1 pulls op #3's date back 200 days (non-monotonic vs file
+    order), site%5==2 loses all plantation codes, site%9==4 all harvest
+    codes, and site%11==5 is fallow (CRP=14, exempt from crop checks)."""
+    t = F.col("id")
+    site = (t / F.lit(6)).cast("long")
+    k = (t % 6).cast("long")
+    df = (
+        spark.range(N_OPCV_SITES * 6)
+        .select(
+            site.alias("site_id"),
+            (F.lit(1) + (k / 2).cast("long")).cast("int").alias("Yid"),
+            ((k % 2) * 5 + 3).cast("int").alias("Mn"),
+            ((site * 7 + k * 11) % 27 + 1).cast("int").alias("Dy"),
+            F.when(k % 2 == 0, F.lit(2)).otherwise(F.lit(650))
+            .cast("int").alias("CODE"),
+            F.when(site % 11 == 5, F.lit(14)).otherwise(site % 2 + 10)
+            .cast("int").alias("CRP"),
+            k.alias("__k"),
+        )
+        .filter(F.col("__k") < (site % 3 + 2) * 2)
+    )
+    date0 = F.make_date(F.col("Yid") + F.lit(1999), F.col("Mn"), F.col("Dy"))
+    return (
+        df.withColumn(
+            "date",
+            F.when((F.col("site_id") % 4 == 1) & (F.col("__k") == 3),
+                   F.date_sub(date0, 200)).otherwise(date0),
+        )
+        .drop("__k")
+        .filter(~((F.col("site_id") % 7 == 3) & (F.col("Yid") == 2)))
+        .filter(~((F.col("site_id") % 5 == 2) & (F.col("CODE") == 2)))
+        .filter(~((F.col("site_id") % 9 == 4) & (F.col("CODE") == 650)))
+    )
+
+
+def q_opc_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPC schedule validator (`geoEpic/io/opc.py:638-671`): year-coverage
+    gaps, non-monotonic op dates, and crops missing plantation/harvest
+    codes, each as one distributed aggregation over all schedules (W5/P2
+    surface; the reference loops per file)."""
+    from geo_epic_spark.functions.validators import opc_violations
+
+    out = opc_violations(_opc_validate_frame(spark), ["site_id"])
+    return out.withColumn("n_bad", F.col("n_bad").cast("long"))
+
+
+def _sql_opc_validate() -> str:
+    return f"""
+    WITH raw AS (
+      SELECT (t // 6) AS site_id, (t % 6) AS k
+      FROM (SELECT unnest(range({N_OPCV_SITES * 6})) AS t)
+    ),
+    ops0 AS (
+      SELECT site_id,
+             CAST(1 + (k // 2) AS INTEGER) AS Yid,
+             CAST((k % 2) * 5 + 3 AS INTEGER) AS Mn,
+             CAST((site_id * 7 + k * 11) % 27 + 1 AS INTEGER) AS Dy,
+             CAST(CASE WHEN k % 2 = 0 THEN 2 ELSE 650 END AS INTEGER) AS CODE,
+             CAST(CASE WHEN site_id % 11 = 5 THEN 14
+                       ELSE 10 + (site_id % 2) END AS INTEGER) AS CRP,
+             k
+      FROM raw WHERE k < ((site_id % 3) + 2) * 2
+    ),
+    ops AS (
+      SELECT site_id, Yid, Mn, Dy, CODE, CRP,
+             make_date(2000 + Yid - 1, Mn, Dy)
+               - CASE WHEN site_id % 4 = 1 AND k = 3 THEN 200 ELSE 0 END
+                 * INTERVAL 1 DAY AS "date"
+      FROM ops0
+      WHERE NOT (site_id % 7 = 3 AND Yid = 2)
+        AND NOT (site_id % 5 = 2 AND CODE = 2)
+        AND NOT (site_id % 9 = 4 AND CODE = 650)
+    ),
+    my AS (
+      SELECT site_id,
+             CAST(max(Yid) - count(DISTINCT Yid) AS BIGINT) AS n_bad
+      FROM ops GROUP BY 1
+    ),
+    dec AS (
+      SELECT site_id,
+             CASE WHEN "date" < lag("date") OVER
+                  (PARTITION BY site_id ORDER BY Yid, Mn, Dy)
+                  THEN 1 ELSE 0 END AS d
+      FROM ops
+    ),
+    crops AS (
+      SELECT site_id, CRP,
+             max(CASE WHEN CODE IN (2, 3) THEN 1 ELSE 0 END) AS p,
+             max(CASE WHEN CODE = 650 THEN 1 ELSE 0 END) AS h
+      FROM ops WHERE CRP <> 14 GROUP BY 1, 2
+    )
+    SELECT site_id, '__missing_year' AS "column", n_bad
+    FROM my WHERE n_bad > 0
+    UNION ALL
+    SELECT site_id, '__date_not_monotonic' AS "column",
+           CAST(sum(d) AS BIGINT) AS n_bad
+    FROM dec GROUP BY site_id HAVING sum(d) > 0
+    UNION ALL
+    SELECT site_id, '__crop_without_plantation' AS "column",
+           CAST(count(*) AS BIGINT) AS n_bad
+    FROM crops WHERE p = 0 GROUP BY site_id
+    UNION ALL
+    SELECT site_id, '__crop_without_harvest' AS "column",
+           CAST(count(*) AS BIGINT) AS n_bad
+    FROM crops WHERE h = 0 GROUP BY site_id
+    """
+
+
+def q_registry_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 UDF extension point driven end-to-end: register a grouped
+    pandas routine by name and run it via ``apply_routine`` as one
+    Arrow-batched ``applyInPandas`` stage (the reference's dynamic
+    ``import_function`` post-process hooks, `geoEpic/utils/misc.py:97-133`,
+    `workspace/post_process.py:20`). The routine computes per-customer
+    order-date gap statistics, so the oracle is a plain lag-window SQL."""
+    import pandas as pd
+
+    from geo_epic_spark.functions.registry import apply_routine, register
+
+    @register("order_gaps")
+    def order_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "avg_gap_days": pd.Series([], dtype="float64"),
+            })
+        gaps = pdf["o_orderdate"].diff().dropna().dt.days
+        return pd.DataFrame({
+            "o_custkey": [int(pdf["o_custkey"].iloc[0])],
+            "n_orders": [n],
+            "avg_gap_days": [round(float(gaps.mean()), 6)],
+        })
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return apply_routine(
+        o, "order_gaps", by="o_custkey",
+        schema="o_custkey long, n_orders long, avg_gap_days double",
+    )
+
+
+_SQL_REGISTRY_HOOK = """
+WITH g AS (
+  SELECT o_custkey, o_orderdate,
+         lag(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(date_diff('day', prev, o_orderdate)), 6) AS avg_gap_days
+FROM g
+GROUP BY o_custkey
+HAVING count(*) >= 2
+"""
+
+
 N_AUDIO, N_VIDEO = 200, 150
 
 
@@ -2551,6 +2719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_next_order_asof": q_next_order_asof,     # J10: q_pair_seasons
         "q_union_dedup": q_union_dedup,             # §2.6: q_opc_append
         "q_brand_revenue": q_brand_revenue,         # J4 star: q_local_supplier_volume
+        "q_opc_validate": q_opc_validate,           # P2/W5: q_validate_dly
+        "q_registry_hook": q_registry_hook,         # §2.9 registry hook
     }
 
 
@@ -2614,4 +2784,6 @@ def oracle_sql() -> dict[str, str]:
         "q_resume_pending": _sql_resume_pending(),
         "q_bucketed_join": _sql_bucketed_join(),
         "q_stream_windowed": _sql_stream_windowed(),
+        "q_opc_validate": _sql_opc_validate(),
+        "q_registry_hook": _SQL_REGISTRY_HOOK,
     }
