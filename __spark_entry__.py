@@ -2523,6 +2523,51 @@ def _sql_resume_pending() -> str:
     """
 
 
+def q_resume_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 append sink driven end-to-end: ``run_with_resume`` over events
+    split into 8 logical partitions, manifest pre-seeded with partitions
+    0-1 complete. The run processes only the pending 2-7 (anti-join),
+    writes them with dynamic partition overwrite, captures observe()
+    metrics in-flight, and appends per-partition lineage rows — the
+    reference's skip-existing fan-out + DataLogger
+    (`sites/generate.py:97-98`, `io/data_logger.py:298-380`). Returns this
+    run's manifest (partition_id, rows_in, rows_out); the xxhash64 content
+    checksum column is engine-specific and excluded from the oracle."""
+    import shutil
+
+    from geo_epic_spark.operators.resume import run_with_resume
+
+    work = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(8)).alias("part"), "event_id", "value"
+    )
+    mpath = _scratch("resume_metrics/manifest")
+    opath = _scratch("resume_metrics/out")
+    shutil.rmtree(mpath, ignore_errors=True)
+    spark.createDataFrame(
+        [(str(p), 0, 0, 0, "seed") for p in (0, 1)],
+        "partition_id string, rows_in long, rows_out long, checksum long, run_id string",
+    ).coalesce(1).write.mode("overwrite").parquet(mpath)
+    run_with_resume(
+        spark, work, "part",
+        lambda df: df.filter(F.col("value") > 2.5),
+        opath, mpath, run_id="r3metrics",
+    )
+    man = spark.read.parquet(mpath).filter(F.col("run_id") == "r3metrics")
+    return man.select("partition_id", "rows_in", "rows_out")
+
+
+def _sql_resume_metrics() -> str:
+    return """
+    SELECT CAST(user_id % 8 AS VARCHAR) AS partition_id,
+           CAST(count(*) AS BIGINT) AS rows_in,
+           CAST(sum(CASE WHEN value > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_out
+    FROM events
+    WHERE (user_id % 8) >= 2
+    GROUP BY 1
+    """
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located fact⋈fact join (sources/bucketing.py): both
     sides written ``bucketBy(8, orderkey)`` once, then joined sort-merge
@@ -2721,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_brand_revenue": q_brand_revenue,         # J4 star: q_local_supplier_volume
         "q_opc_validate": q_opc_validate,           # P2/W5: q_validate_dly
         "q_registry_hook": q_registry_hook,         # §2.9 registry hook
+        "q_resume_metrics": q_resume_metrics,       # S9 sink: q_resume_pending
     }
 
 
@@ -2786,4 +2832,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_windowed": _sql_stream_windowed(),
         "q_opc_validate": _sql_opc_validate(),
         "q_registry_hook": _SQL_REGISTRY_HOOK,
+        "q_resume_metrics": _sql_resume_metrics(),
     }
