@@ -2382,6 +2382,241 @@ def _sql_quality_scores() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 additions (second wave): skew-salted join, semantic dedup,
+# repetition signals, PII redaction
+# ---------------------------------------------------------------------------
+
+SALT_IMG, SALT_POLY, SALT_BUCKETS = 30000, 200, 8
+
+
+def q_salted_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handled tile assignment (north rule: dense-cell salting). The
+    probe side is salted on the image key and the build side replicated
+    across the 8 salt buckets before the cell equi-join, then the exact
+    containment refine runs on the joined rows. Salting is a pure
+    re-partitioning — the oracle is the plain containment join, so the
+    hash-match proves output equivalence of the salted plan (the pytest twin
+    test_salted_cell_join_equals_unsalted asserts it at the operator level).
+    The synthetic HOT cluster (25% of polys, ~4% of the AOI) supplies real
+    skew: without salting those cells' join tasks are the stragglers."""
+    from geo_epic_spark.operators.spatial import add_salt, replicate_for_salt
+
+    res = 0.05
+    imgs = (
+        synth.images_meta_df(spark, SALT_IMG)
+        .select("i", "cx", "cy")
+        .withColumn("__cell", cells.cell_id(F.col("cx"), F.col("cy"), res))
+    )
+    polys = synth.fields_df(spark, SALT_POLY).select(
+        "poly_id", "x0", "x1", "y0", "y1",
+        F.explode(cells.cover_polygon(F.col("xs"), F.col("ys"), res)).alias("__cell"),
+    )
+    salted_probe = add_salt(imgs, "i", SALT_BUCKETS)
+    salted_build = replicate_for_salt(polys, SALT_BUCKETS)
+    joined = salted_probe.join(salted_build, ["__cell", "salt"]).filter(
+        (F.col("cx") >= F.col("x0")) & (F.col("cx") <= F.col("x1"))
+        & (F.col("cy") >= F.col("y0")) & (F.col("cy") <= F.col("y1"))
+    )
+    return joined.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_images"))
+
+
+def _sql_salted_pip() -> str:
+    return f"""
+    WITH imgs AS ({synth.images_meta_sql(SALT_IMG)}),
+         polys AS ({synth.fields_sql(SALT_POLY)})
+    SELECT p.poly_id AS poly_id, COUNT(*) AS n_images
+    FROM imgs i JOIN polys p
+      ON i.cx BETWEEN p.x0 AND p.x1 AND i.cy BETWEEN p.y0 AND p.y1
+    GROUP BY 1
+    """
+
+
+SEMDEDUP_C = 8       # coarse clusters (first-C embeddings as centroids)
+SEMDEDUP_THR = 0.99  # near-dup cosine threshold
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse k-means clusters, then greedy
+    within-cluster duplicate marking at cosine >= 0.99. Corpus has no
+    natural near-dups, so a jittered copy of every vector is planted (same
+    portable hash arithmetic as q_embedding_near_dup); the expected result
+    is keep=true for every base vector and keep=false for every planted
+    copy that shares its base's cluster. Centroids are the deterministic
+    first-8 vectors so the DuckDB oracle reproduces the ENTIRE pipeline —
+    assignment, priority order, pair predicate — not just the end state."""
+    from geo_epic_spark.operators.dedup import semantic_dedup
+
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    jit = v.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, k: x
+            + F.lit(JIT_EPS)
+            * (
+                ((F.col("vec_id") * F.lit(synth.M[1]) + k * F.lit(48611) + F.lit(7919))
+                 % F.lit(4294967296)) / F.lit(4294967296.0)
+                - F.lit(0.5)
+            ),
+        ).alias("embedding"),
+    ).select((F.col("vec_id") + JIT_OFF).alias("vec_id"), "embedding")
+    both = v.unionByName(jit)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in v.filter(f"vec_id < {SEMDEDUP_C}").orderBy("vec_id").collect()
+    ]
+    out = semantic_dedup(both, cents, threshold=SEMDEDUP_THR)
+    return out.select("vec_id", "cluster_id", "keep")
+
+
+def _sql_semantic_dedup() -> str:
+    u = f"(((e.vec_id * {synth.M[1]} + k * 48611 + 7919) % 4294967296) / 4294967296.0)"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings),
+         jit AS (
+           SELECT e.vec_id + {JIT_OFF} AS vec_id,
+                  list(e.embedding[k + 1] + {JIT_EPS} * ({u} - 0.5)
+                       ORDER BY k) AS embedding
+           FROM e, (SELECT unnest(range(64)) AS k)
+           GROUP BY e.vec_id
+         ),
+         allv AS (SELECT * FROM e UNION ALL SELECT * FROM jit),
+         c AS (SELECT vec_id AS cid, embedding AS cvec FROM e
+               WHERE vec_id < {SEMDEDUP_C}),
+         asg AS (
+           SELECT vec_id, embedding, cid,
+                  row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY list_distance(embedding, cvec), cid
+                  ) AS rn
+           FROM allv CROSS JOIN c
+         ),
+         assigned AS (SELECT vec_id, embedding, cid AS cluster_id
+                      FROM asg WHERE rn = 1),
+         dups AS (
+           SELECT DISTINCT b.vec_id
+           FROM assigned a JOIN assigned b
+             ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.embedding, b.embedding)
+                   / (sqrt(list_dot_product(a.embedding, a.embedding))
+                      * sqrt(list_dot_product(b.embedding, b.embedding)))
+                 >= {SEMDEDUP_THR}
+         )
+    SELECT s.vec_id, s.cluster_id, (d.vec_id IS NULL) AS keep
+    FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    """
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (top-unigram share,
+    top-bigram share, duplicate-token fraction) via exploded-gram two-phase
+    aggregation — the shuffle key is (doc, gram), never the text."""
+    from geo_epic_spark.operators.text import repetition_report
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_report(d)
+
+
+def _sql_repetition() -> str:
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      GROUP BY 1, 2
+    ),
+    unia AS (
+      SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_uni,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_toks
+      FROM uni GROUP BY 1
+    ),
+    bit AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS b
+      FROM toks
+    ),
+    bi AS (SELECT doc_id, b, count(*) AS c FROM bit GROUP BY 1, 2),
+    bia AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bi FROM bi GROUP BY 1)
+    SELECT u.doc_id AS doc_id,
+           CAST(u.n_tokens AS BIGINT) AS n_tokens,
+           round(u.top_uni / CAST(u.n_tokens AS DOUBLE), 6) AS top_unigram_share,
+           round(coalesce(b.top_bi / CAST(b.n_bigrams AS DOUBLE), 0.0), 6)
+             AS top_bigram_share,
+           round(u.dup_toks / CAST(u.n_tokens AS DOUBLE), 6) AS dup_token_frac
+    FROM unia u LEFT JOIN bia b ON u.doc_id = b.doc_id
+    """
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministically planted spans (email
+    always; phone on even ids; SSN on ids % 3 == 0) — typed placeholder
+    replacement + per-doc hit counts, all JVM regexp expressions (map-only,
+    zero shuffle). The oracle rebuilds the identical planted text and
+    mirrors the replacement order."""
+    from geo_epic_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(" call 555-123-"),
+                         F.format_string("%04d", (F.col("doc_id") % 10000).cast("int"))),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" id 123-45-"),
+                         F.format_string("%04d", (F.col("doc_id") % 10000).cast("int"))),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(d)
+
+
+def _sql_redact_pii() -> str:
+    from geo_epic_spark.operators.text import PII_EMAIL, PII_PHONE, PII_SSN
+
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             substr(text, 1, 80)
+               || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' call 555-123-' || printf('%04d', doc_id % 10000)
+                       ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' id 123-45-' || printf('%04d', doc_id % 10000)
+                       ELSE '' END AS text
+      FROM documents
+    ),
+    steps AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(text, '{PII_SSN}')) AS n_ssns,
+             regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                            '{PII_SSN}', '<SSN>', 'g') AS t1
+      FROM planted
+    )
+    SELECT doc_id,
+           regexp_replace(t1, '{PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+           CAST(n_emails AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '{PII_PHONE}')) AS INTEGER) AS n_phones,
+           CAST(n_ssns AS INTEGER) AS n_ssns
+    FROM steps
+    """
+
+
+# ---------------------------------------------------------------------------
 # round-3 additions: source/sink kernels, resume, bucketing, CRS, streaming
 # ---------------------------------------------------------------------------
 
@@ -2700,7 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nearest_grid": q_nearest_grid,
         "q_zonal_stats": q_zonal_stats,
         "q_rasterize": q_rasterize,
-        "q_knn_k3": q_knn_k3,
+        "q_salted_pip": q_salted_pip,    # skew-salted join (north rule)
         # media payloads (§2.10a/d + audio/video) — early: r2's driver cap
         # dropped these three when they sat at positions 51-53
         "q_audio_features": q_audio_features,
@@ -2731,7 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentile_envelope": q_percentile_envelope,
         "q_rolling_median_events": q_rolling_median_events,
         "q_local_supplier_volume": q_local_supplier_volume,
-        "q_bbox_clip": q_bbox_clip,
+        "q_semantic_dedup": q_semantic_dedup,  # SemDeDup (new family r3)
         "q_windowed_events": q_windowed_events,
         # documents / embeddings (dedup + similarity + text analysis)
         "q_exact_dedup_docs": q_exact_dedup_docs,
@@ -2756,6 +2991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_opc_append": q_opc_append,
         "q_edit_crop_season": q_edit_crop_season,
         # --- tail: family already represented above (safe under any cap) ---
+        "q_knn_k3": q_knn_k3,                       # J1: q_nearest_grid (same op, k=3)
+        "q_bbox_clip": q_bbox_clip,                 # P6: q_tile_assign
+        "q_repetition": q_repetition,               # text: q_token_stats family
+        "q_redact_pii": q_redact_pii,               # text: map-only scrub
         "q_harmonic_fit": q_harmonic_fit,           # W8: q_double_logistic
         "q_asym_gaussian": q_asym_gaussian,         # W8: q_double_logistic
         "q_lai_profile": q_lai_profile,             # W4: q_interpolate
@@ -2833,4 +3072,8 @@ def oracle_sql() -> dict[str, str]:
         "q_opc_validate": _sql_opc_validate(),
         "q_registry_hook": _SQL_REGISTRY_HOOK,
         "q_resume_metrics": _sql_resume_metrics(),
+        "q_salted_pip": _sql_salted_pip(),
+        "q_semantic_dedup": _sql_semantic_dedup(),
+        "q_repetition": _sql_repetition(),
+        "q_redact_pii": _sql_redact_pii(),
     }

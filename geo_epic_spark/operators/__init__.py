@@ -4,7 +4,14 @@ from geo_epic_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_dup_pairs,
+)
+from geo_epic_spark.operators.text import (  # noqa: F401
+    redact_pii,
+    repetition_report,
+    text_features,
+    winnow_fingerprints,
 )
 from geo_epic_spark.operators.phenology import (  # noqa: F401
     count_seasons,

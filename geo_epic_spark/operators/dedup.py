@@ -605,3 +605,89 @@ def _cluster_pairs_star(
     return df.select(F.col(key)).join(
         roots.withColumnRenamed("u", key), on=key, how="left"
     ).select(key, F.coalesce("cluster_id", F.col(key)).alias("cluster_id"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    cents: list[list[float]],
+    threshold: float = 0.95,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    priority: str = "key",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public paper; no reference analog,
+    the closest is the skip-existing identity dedup `sites/generate.py:97-98`).
+
+    Two stages, both bucketed — no global all-pairs:
+
+    1. Coarse k-means assignment to ``len(cents)`` clusters (reuses the IVF
+       quantizer ``similarity.ivf_assign``; at 100 TB the cluster id is the
+       write-time partition column, so stage 2 is a co-located join).
+    2. Within each cluster, greedy duplicate marking in a deterministic
+       priority order: a vector is a DUPLICATE iff some higher-priority
+       vector in the same cluster has cosine >= ``threshold`` with it.
+       ``priority='key'`` keeps the lowest key (SQL-mirrorable, used by the
+       driver oracle); ``priority='centroid_far'`` keeps the vector farthest
+       from its centroid first (the paper's diversity-preserving choice).
+
+    Returns one row per input vector: (key, cluster_id, keep) — ``keep`` is
+    false for marked duplicates.
+
+    Scale shape: the stage-2 self-join keys on ``cluster_id``, so each
+    cluster's pairs stay inside one shuffle bucket; cluster sizes are ~n/C
+    and AQE splits outliers (boilerplate embedding clusters are the dense-
+    cell analog of the north rule's urban tiles).
+    """
+    from geo_epic_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(df.select(key, vec), cents, vec=vec)
+    if priority == "key":
+        order = [F.col(key).asc()]
+    elif priority == "centroid_far":
+        carr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in cents])
+        cvec = F.element_at(carr, (F.col("ivf_list") + 1).cast("int"))
+        d2c = F.aggregate(
+            F.zip_with(F.col(vec), cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        assigned = assigned.withColumn("__d2c", d2c)
+        order = [F.col("__d2c").desc(), F.col(key).asc()]
+    else:
+        raise ValueError(f"semantic_dedup: unknown priority {priority!r}")
+
+    w = Window.partitionBy("ivf_list").orderBy(*order)
+    ranked = assigned.withColumn("__rk", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
+
+    # pre-normalize once so the verify condition is a plain dot product
+    norm = F.sqrt(
+        F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    ranked_n = ranked.withColumn("__v", F.transform(vec, lambda x: x / norm))
+    a, b = ranked_n.alias("a"), ranked_n.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.__v", "b.__v", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.ivf_list") == F.col("b.ivf_list"))
+            & (F.col("a.__rk") < F.col("b.__rk")),
+        )
+        .filter(dot >= F.lit(threshold))
+        .select(F.col(f"b.{key}").alias(key))
+        .distinct()
+    )
+    return (
+        ranked.select(key, F.col("ivf_list").alias("cluster_id"))
+        .join(dups.withColumn("__dup", F.lit(True)), on=key, how="left")
+        .select(
+            key,
+            "cluster_id",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )

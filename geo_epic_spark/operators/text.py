@@ -135,3 +135,100 @@ def winnow_fingerprints(
         .select(key, "fingerprint")
     )
     return out
+
+
+def repetition_report(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public
+    paper; the reference's nearest analog is the runtime range validators,
+    `io/inputs.py:224-265`): per document —
+
+    - ``n_tokens``: whitespace token count,
+    - ``top_unigram_share``: count of the most frequent token / n_tokens,
+    - ``top_bigram_share``: count of the most frequent word bigram / #bigrams,
+    - ``dup_token_frac``: fraction of tokens whose token occurs >= 2 times.
+
+    Shape: explode tokens/bigrams -> two-phase hash aggregate keyed by
+    (doc, gram) -> per-doc max/sum. The shuffle key is (doc_id, 64-bit gram
+    hash) — never the text — and partial aggregation collapses each doc's
+    grams map-side, so at 10^12 docs the shuffled bytes are ~|distinct grams|
+    not |tokens|. Ties on gram counts don't matter (shares use the max).
+    """
+    toks = (
+        df.select(key, F.split(F.lower(F.trim(F.col(text))), r"\s+").alias("__toks"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        toks.select(key, F.explode("__toks").alias("__w"))
+        .groupBy(key, "__w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(key)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_uni"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias("dup_toks"),
+        )
+    )
+    bi = (
+        toks.select(
+            key,
+            F.explode(
+                # sequence(1, 0) DESCENDS in Spark — guard the 1-token case
+                # with an explicit empty array instead of greatest()
+                F.expr(
+                    "if(size(__toks) < 2, array(),"
+                    " transform(sequence(1, size(__toks) - 1),"
+                    " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1))))"
+                )
+            ).alias("__b"),
+        )
+        .groupBy(key, "__b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(key)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bi"))
+    )
+    return (
+        uni.join(bi, on=key, how="left")
+        .select(
+            key,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("top_uni") / F.col("n_tokens"), 6).alias("top_unigram_share"),
+            F.round(
+                F.coalesce(F.col("top_bi") / F.col("n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_share"),
+            F.round(F.col("dup_toks") / F.col("n_tokens"), 6).alias("dup_token_frac"),
+        )
+    )
+
+
+# PII patterns kept to a portable regex subset (no lookaround, no \b) so the
+# identical pattern strings run in Spark (Java regex) and DuckDB (RE2).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def redact_pii(
+    df: DataFrame, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Training-data PII scrub: replace email / phone / SSN-shaped spans
+    with typed placeholder tags and report per-doc hit counts. Pure
+    ``regexp_replace`` / ``regexp_count`` Column expressions — JVM-side,
+    codegen'd, no UDF; at scale this is a map-only stage (zero shuffle).
+
+    Order matters: SSN before phone (a phone regex may swallow an SSN's
+    tail), email first (emails can contain digit runs).
+    """
+    t = F.col(text)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL))
+    n_ssn = F.regexp_count(t, F.lit(PII_SSN))
+    clean = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_SSN, "<SSN>")
+    n_phone = F.regexp_count(clean, F.lit(PII_PHONE))
+    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    return df.select(
+        key,
+        clean.alias("clean_text"),
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+        n_ssn.cast("int").alias("n_ssns"),
+    )

@@ -1,0 +1,96 @@
+"""Round-3 second-wave text/embedding ops: semantic dedup (SemDeDup),
+Gopher repetition signals, PII redaction."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from geo_epic_spark.operators.dedup import semantic_dedup
+from geo_epic_spark.operators.text import redact_pii, repetition_report
+
+
+def _vec_rows(spark):
+    """12 vectors in 2 well-separated blobs + a planted near-dup per blob."""
+    rng = np.random.Generator(np.random.PCG64(3))
+    rows = []
+    for i in range(12):
+        base = np.zeros(8)
+        base[0 if i % 2 == 0 else 4] = 10.0  # two orthogonal blobs
+        v = base + rng.normal(0, 0.5, 8)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # near-dup copies of vec 0 and vec 1 (tiny jitter)
+    for j, src in ((100, 0), (101, 1)):
+        v = np.array(rows[src].embedding) + 1e-3
+        rows.append(Row(vec_id=j, embedding=[float(x) for x in v]))
+    return rows
+
+
+def test_semantic_dedup_marks_planted_copies(spark):
+    rows = _vec_rows(spark)
+    df = spark.createDataFrame(rows)
+    cents = [rows[0].embedding, rows[1].embedding]
+    out = semantic_dedup(df, cents, threshold=0.999).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == len(rows)
+    # planted copies are dups of a lower id in the same cluster
+    assert not by_id[100]["keep"] and not by_id[101]["keep"]
+    # every base vector survives (no natural pair reaches 0.999)
+    assert all(by_id[i]["keep"] for i in range(12))
+    # cluster ids are the two centroid indices
+    assert {r["cluster_id"] for r in out} == {0, 1}
+
+
+def test_semantic_dedup_centroid_far_keeps_one_per_group(spark):
+    rows = _vec_rows(spark)
+    df = spark.createDataFrame(rows)
+    cents = [rows[0].embedding, rows[1].embedding]
+    out = semantic_dedup(df, cents, threshold=0.999, priority="centroid_far").collect()
+    # same dup-group structure: exactly 2 dropped, one per planted pair
+    dropped = sorted(r["vec_id"] for r in out if not r["keep"])
+    assert len(dropped) == 2
+    # with centroid_far priority the member FARTHER from the centroid wins;
+    # each dup group is {src, copy} so exactly one of each pair survives
+    groups = [{0, 100}, {1, 101}]
+    for g in groups:
+        kept = [r for r in out if r["vec_id"] in g and r["keep"]]
+        assert len(kept) == 1
+
+
+def test_repetition_report_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a a a b"),          # top uni 3/4, bigram "a a" 2/3
+            Row(doc_id=1, text="x y z"),            # no repeats
+            Row(doc_id=2, text="solo"),             # 1 token: no bigrams
+        ]
+    )
+    out = {r["doc_id"]: r for r in repetition_report(df).collect()}
+    r0 = out[0]
+    assert r0["n_tokens"] == 4
+    assert abs(r0["top_unigram_share"] - 0.75) < 1e-9
+    assert abs(r0["top_bigram_share"] - 2 / 3) < 1e-6
+    assert abs(r0["dup_token_frac"] - 0.75) < 1e-9
+    r1 = out[1]
+    assert abs(r1["top_unigram_share"] - 1 / 3) < 1e-6 and r1["dup_token_frac"] == 0.0
+    r2 = out[2]
+    assert r2["n_tokens"] == 1 and r2["top_bigram_share"] == 0.0
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="mail bob@x.org and sue@y.co.uk now"),
+            Row(doc_id=1, text="call (555) 123-4567 or 555-123-4567"),
+            Row(doc_id=2, text="ssn 123-45-6789 plain 12345"),
+            Row(doc_id=3, text="clean text no pii"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["n_emails"] == 2 and "<EMAIL>" in out[0]["clean_text"]
+    assert "bob@x.org" not in out[0]["clean_text"]
+    assert out[1]["n_phones"] == 2 and out[1]["clean_text"].count("<PHONE>") == 2
+    assert out[2]["n_ssns"] == 1 and "<SSN>" in out[2]["clean_text"]
+    assert out[3]["clean_text"] == "clean text no pii"
+    assert out[3]["n_emails"] == out[3]["n_phones"] == out[3]["n_ssns"] == 0
