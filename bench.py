@@ -43,8 +43,49 @@ N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 # load sample exceeds this
 LOAD_MAX = float(os.environ.get("BENCH_LOAD_MAX", "20"))
 MAX_RETRIES = int(os.environ.get("BENCH_MAX_RETRIES", "1"))
+# calibration-probe gate: the 1-minute load average LAGS a neighbor burst by
+# up to a minute (a measured 9x-inflated suite sailed through load_pre=2.1),
+# so the primary gate is a fixed CPU probe timed immediately before each
+# query's timed set — when the probe runs slow vs the session's best, the
+# box is contended RIGHT NOW and we wait (bounded by a global sleep budget)
+# for the burst to pass. Witnesses (probe ms per query) land in the JSON.
+NOISE_FACTOR = float(os.environ.get("BENCH_NOISE_FACTOR", "1.6"))
+NOISE_SLEEP = float(os.environ.get("BENCH_NOISE_SLEEP", "15"))
+NOISE_BUDGET = float(os.environ.get("BENCH_NOISE_BUDGET", "150"))
 N_POLY = 2000
 GRID = (200, 320, 0.015625)
+
+import numpy as np  # noqa: E402
+
+_CAL_A = np.random.Generator(np.random.PCG64(5)).standard_normal((1200, 1200))
+
+
+def _probe() -> float:
+    """Seconds for a fixed matmul — a direct witness of CPU available NOW
+    (BLAS threads contend with neighbor bursts exactly like Spark tasks)."""
+    t0 = time.time()
+    (_CAL_A @ _CAL_A).sum()
+    return time.time() - t0
+
+
+class _NoiseGate:
+    """Track the session-best probe time; before a timed set, wait (within a
+    global sleep budget) until the probe is within NOISE_FACTOR of the best."""
+
+    def __init__(self) -> None:
+        self.best = min(_probe() for _ in range(3))
+        self.budget = NOISE_BUDGET
+
+    def wait_for_quiet(self) -> list[float]:
+        samples = []
+        while True:
+            c = _probe()
+            self.best = min(self.best, c)
+            samples.append(round(c * 1000))
+            if c <= self.best * NOISE_FACTOR or self.budget <= 0:
+                return samples
+            self.budget -= NOISE_SLEEP
+            time.sleep(NOISE_SLEEP)
 
 
 def _count(df) -> int:
@@ -150,6 +191,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
     )
 
     out = {}
+    gate = _NoiseGate()
     for name, (fn, rows) in defs.items():
         if WARM:
             # warm run pays one-off codegen + broadcast build + Python-worker
@@ -167,13 +209,22 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
             # polluted measurement is visible instead of silent (r1's
             # nearest_grid outlier).
             times, n, loads, retries = [], 0, [], 0
+            cal_ms = []
             while True:
+                cal_ms += gate.wait_for_quiet()
                 loads.append(round(os.getloadavg()[0], 1))
                 for _ in range(max(N_RUNS, 2)):
                     t0 = time.time()
                     n = fn()
                     times.append(time.time() - t0)
-                if loads[-1] <= LOAD_MAX or retries >= MAX_RETRIES:
+                # retry the whole timed set when EITHER witness says the set
+                # ran contended: laggy 1-min load above the hard gate, or the
+                # post-set probe still far off the session best
+                post = _probe()
+                gate.best = min(gate.best, post)
+                cal_ms.append(round(post * 1000))
+                noisy = loads[-1] > LOAD_MAX or post > gate.best * NOISE_FACTOR
+                if not noisy or retries >= MAX_RETRIES:
                     break
                 retries += 1
             times.sort()
@@ -183,10 +234,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
             t0 = time.time()
             n = fn()
             dt = med = time.time() - t0
-            loads, retries = [round(os.getloadavg()[0], 1)], 0
+            loads, retries, cal_ms = [round(os.getloadavg()[0], 1)], 0, []
         out[name] = {
             "sec": round(dt, 3), "median_sec": round(med, 3), "result_rows": n,
-            "load_pre": loads, "noise_retries": retries,
+            "load_pre": loads, "noise_retries": retries, "cal_ms": cal_ms,
         }
         if rows:
             out[name]["rows_per_sec"] = round(rows / dt)
@@ -216,7 +267,9 @@ def main() -> None:
                 "load_avg_1m": round(os.getloadavg()[0], 1),
                 "load_pre": {k: v["load_pre"] for k, v in res.items()},
                 "noise_retries": {k: v["noise_retries"] for k, v in res.items()},
+                "cal_ms": {k: v["cal_ms"] for k, v in res.items()},
                 "load_max_gate": LOAD_MAX,
+                "noise_factor_gate": NOISE_FACTOR,
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "n_images": N_IMG,
                 "rows_per_sec": {
