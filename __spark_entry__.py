@@ -2616,6 +2616,102 @@ def _sql_redact_pii() -> str:
     """
 
 
+def q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine-metric nearest-grid assignment (the reference's
+    `GeoInterface.lookup` BallTree-haversine path, `utils/raster_utils.py:196`)
+    — k-ring expansion with the metric-aware guard bound, brute fallback for
+    BallTree-exact results. Oracle = full cross-join argmin with the same
+    great-circle formula in DuckDB trig."""
+    pts = synth.images_meta_df(spark, 1500).select("i", "cx", "cy")
+    grid = synth.grid_df(spark, GRID_NR, GRID_NC, GRID_SP)
+    out = nearest_grid_join(
+        pts, grid, res=GRID_SP, metric="haversine",
+        point_id="i", point_lon="cx", point_lat="cy",
+    )
+    return out.select("i", "grid_id", F.round("nn_dist", 6).alias("nn_km"))
+
+
+def _sql_knn_haversine() -> str:
+    hav = (
+        "2 * 6371.0088 * asin(sqrt("
+        "pow(sin(radians(g.lat - p.cy) / 2), 2)"
+        " + cos(radians(p.cy)) * cos(radians(g.lat))"
+        " * pow(sin(radians(g.lon - p.cx) / 2), 2)))"
+    )
+    return f"""
+    WITH pts AS ({synth.images_meta_sql(1500)}),
+         grid AS ({synth.grid_sql(GRID_NR, GRID_NC, GRID_SP)}),
+         d AS (
+           SELECT p.i, g.grid_id, {hav} AS km,
+                  row_number() OVER (
+                    PARTITION BY p.i ORDER BY {hav}, g.grid_id
+                  ) AS rn
+           FROM pts p CROSS JOIN grid g
+         )
+    SELECT i, grid_id, round(km, 6) AS nn_km FROM d WHERE rn = 1
+    """
+
+
+def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/BLAS physical path of brute-force cosine top-k (one matmul
+    per batch, per-batch survivors with deterministic tie-break) — same
+    logical result as q_cosine_topk, so it shares that oracle: the
+    hash-match proves path equivalence."""
+    from geo_epic_spark.operators.similarity import cosine_topk_arrow
+
+    v = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in v.filter("vec_id < 5").orderBy("vec_id").collect()
+    ]
+    out = cosine_topk_arrow(v, q, k=5)
+    return out.select("q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState streaming path end-to-end: documents
+    replayed through readStream into the first-seen-wins content dedup
+    (`streaming/stateful.py`), availableNow trigger, update-mode memory
+    sink. One file -> one micro-batch, so the survivor per content group is
+    the global min doc_id — exactly the batch SQL the oracle runs."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    from geo_epic_spark.streaming.stateful import stateful_dedup_stream
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    src_dir = _scratch(f"stream_src_docs_{tag}")
+    link = os.path.join(src_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    schema = _t(spark, sf_dir, "documents").schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    surv = stateful_dedup_stream(stream, text="text", key="doc_id")
+    name = "qsd_" + uuid.uuid4().hex[:8]
+    ckpt = _scratch("stream_ckpt_" + name)
+    q = (
+        surv.writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).select("doc_id", F.length("text").alias("text_len"))
+
+
+def _sql_stateful_dedup() -> str:
+    return """
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+           CAST(length(text) AS INTEGER) AS text_len
+    FROM documents
+    GROUP BY text
+    """
+
+
 # ---------------------------------------------------------------------------
 # round-3 additions: source/sink kernels, resume, bucketing, CRS, streaming
 # ---------------------------------------------------------------------------
@@ -3006,6 +3102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_opc_validate": q_opc_validate,           # P2/W5: q_validate_dly
         "q_registry_hook": q_registry_hook,         # §2.9 registry hook
         "q_resume_metrics": q_resume_metrics,       # S9 sink: q_resume_pending
+        "q_knn_haversine": q_knn_haversine,         # J1 haversine metric path
+        "q_cosine_topk_arrow": q_cosine_topk_arrow, # ANN Arrow/BLAS path
+        "q_stateful_dedup": q_stateful_dedup,       # applyInPandasWithState path
     }
 
 
@@ -3076,4 +3175,7 @@ def oracle_sql() -> dict[str, str]:
         "q_semantic_dedup": _sql_semantic_dedup(),
         "q_repetition": _sql_repetition(),
         "q_redact_pii": _sql_redact_pii(),
+        "q_knn_haversine": _sql_knn_haversine(),
+        "q_cosine_topk_arrow": _sql_cosine_topk(),  # path equivalence proof
+        "q_stateful_dedup": _sql_stateful_dedup(),
     }
