@@ -84,6 +84,47 @@ def main() -> None:
         "`Exchange` on either side — the shuffle was paid once at write time and is\n"
         "amortized over every downstream run (site⋈weather / site⋈soil at 100 TB).",
     )
+    # skew-salted cell join: salting must not add exchanges beyond the one
+    # the plain equi-join pays on the probe side
+    from geo_epic_spark import cells
+    from geo_epic_spark.operators.spatial import add_salt, replicate_for_salt
+
+    imgs_c = imgs.withColumn("__cell", cells.cell_id(F.col("cx"), F.col("cy"), 0.05))
+    polys_c = synth.fields_df(spark, 200).select(
+        "poly_id", "x0", "x1", "y0", "y1",
+        F.explode(cells.cover_polygon(F.col("xs"), F.col("ys"), 0.05)).alias("__cell"),
+    )
+    add(
+        "Skew-salted cell join (`add_salt` + `replicate_for_salt`)",
+        add_salt(imgs_c, "i", 8)
+        .join(replicate_for_salt(polys_c, 8), ["__cell", "salt"])
+        .filter(
+            (F.col("cx") >= F.col("x0")) & (F.col("cx") <= F.col("x1"))
+            & (F.col("cy") >= F.col("y0")) & (F.col("cy") <= F.col("y1"))
+        )
+        .groupBy("poly_id").count(),
+        "The salt column widens the join key so one hot cell's rows spread over 8\n"
+        "reducers; the build side is replicated 8x BEFORE the broadcast, so the\n"
+        "probe stream still moves once. Same shape as the plain join — salting is\n"
+        "a pure re-partitioning (q_salted_pip hash-matches the unsalted oracle).",
+    )
+    # semantic dedup: within-cluster pair join keyed by cluster id
+    from geo_epic_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents_rows = emb.filter("vec_id < 4").orderBy("vec_id").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    add(
+        "Semantic dedup (`semantic_dedup`, SemDeDup)",
+        semantic_dedup(emb, cents, threshold=0.99),
+        "Stage 1 (cluster assignment) is a zero-shuffle Column expression; stage 2's\n"
+        "pair join keys on `ivf_list` — at 100 TB that is the write-time partition\n"
+        "column, so the self-join is co-located and pair work stays inside each\n"
+        "cluster's bucket (~n²/C pairs instead of n² global). (At this fixture size\n"
+        "AQE broadcasts the ranked side — the equi-key plan is what matters.)",
+    )
     add(
         "Parquet scan pushdown evidence",
         spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
