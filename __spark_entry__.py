@@ -2712,6 +2712,188 @@ def _sql_stateful_dedup() -> str:
     """
 
 
+SESSION_GAP_S = 28800  # 8 h: the synthetic event stream's median gap is ~7.3 h
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (classic lag + running
+    sum over a per-user window): a new session starts when the gap to the
+    previous event exceeds SESSION_GAP_S. Per-session rollup: bounds, event
+    count, value sum. One shuffle (by user_id) feeds both windows and the
+    final aggregate — partitionBy reuse, no extra exchange."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    sess = (
+        e.withColumn("__new", F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0))
+        .withColumn("session_no", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def _sql_sessionize() -> str:
+    return f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             epoch(ts) - epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, value,
+             sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_S} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           round(sum(value), 6) AS sum_value
+    FROM s GROUP BY 1, 2
+    """
+
+
+CURATION_JUNK_OFF = 100_000
+CURATION_DUP_OFF = 200_000
+
+
+def _curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents + planted junk twins (doc_id%5==0: 40x-repeated token ->
+    repetition/lang filters fire) + planted exact-dup twins (doc_id%7==0:
+    byte-identical text -> dedup keeps the original)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    junk = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + CURATION_JUNK_OFF).alias("doc_id"),
+            F.concat(
+                F.repeat(F.lit("spam "), 39), F.lit("spam")
+            ).alias("text"),
+        )
+    )
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + CURATION_DUP_OFF).alias("doc_id"), "text"
+    )
+    return d.unionByName(junk).unionByName(dup)
+
+
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pipeline — the operators composed
+    the way a real corpus pass runs them: exact dedup (first-seen-wins on
+    the content fingerprint) -> language filter (drop 'und') -> repetition
+    filter (top-unigram share <= 0.5) -> quality floor (>= 0.8). Planted
+    junk/dup twins prove each stage actually drops rows. Returns the kept
+    docs with their signals."""
+    from geo_epic_spark.operators.text import lang_id as _lang
+    from geo_epic_spark.operators.text import quality_score as _qs
+    from geo_epic_spark.operators.text import repetition_report
+
+    corpus = _curation_corpus(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    wfp = Window.partitionBy(norm).orderBy("doc_id")
+    deduped = (
+        corpus.withColumn("__rn", F.row_number().over(wfp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    rep = repetition_report(corpus)  # signals computed pre-dedup, joined after
+    kept = (
+        deduped.join(rep, "doc_id")
+        .withColumn("lang_pred", _lang(F.col("text")))
+        .withColumn("quality", F.round(_qs(F.col("text")), 6))
+        .filter(
+            (F.col("lang_pred") != "und")
+            & (F.col("top_unigram_share") <= 0.5)
+            & (F.col("quality") >= 0.8)
+        )
+    )
+    return kept.select("doc_id", "n_tokens", "lang_pred", "quality")
+
+
+def _sql_curation() -> str:
+    from geo_epic_spark.operators.text import STOPWORDS
+
+    stop_rows = ", ".join(
+        "('{}', [{}])".format(lg, ", ".join(f"'{w}'" for w in ws))
+        for lg, ws in STOPWORDS.items()
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + {CURATION_JUNK_OFF},
+             repeat('spam ', 39) || 'spam'
+      FROM base WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + {CURATION_DUP_OFF}, text FROM base WHERE doc_id % 7 = 0
+    ),
+    dd AS (
+      SELECT doc_id, text,
+             row_number() OVER (
+               PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM corpus
+    ),
+    deduped AS (SELECT doc_id, text FROM dd WHERE rn = 1),
+    toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+             FROM corpus),
+    uni AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2
+    ),
+    rep AS (SELECT doc_id, sum(c) AS n_tokens,
+                   max(c) / CAST(sum(c) AS DOUBLE) AS top_share
+            FROM uni GROUP BY 1),
+    lh AS (
+      SELECT d.doc_id, s.lang,
+             len(list_distinct(list_intersect(
+               string_split_regex(lower(d.text), '\\s+'), s.stop))) AS hits
+      FROM deduped d CROSS JOIN (VALUES {stop_rows}) AS s(lang, stop)
+    ),
+    lr AS (
+      SELECT doc_id, lang, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang DESC) AS rn
+      FROM lh
+    ),
+    langp AS (SELECT doc_id,
+                     CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+              FROM lr WHERE rn = 1),
+    qual AS (
+      SELECT doc_id, round((
+        CASE WHEN n BETWEEN 50 AND 5000 THEN 1.0 WHEN n < 50 THEN n / 50.0
+             ELSE greatest(0.0, 1.0 - (n - 5000) / 5000.0) END
+        + n_alpha / greatest(n, 1.0)
+        + CASE WHEN n / greatest(n_words, 1.0) BETWEEN 3 AND 12
+               THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+      FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+                   CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                        AS DOUBLE) AS n_alpha,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                     AS n_words
+            FROM deduped)
+    )
+    SELECT d.doc_id, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+           l.lang_pred, q.quality
+    FROM deduped d
+    JOIN rep r ON d.doc_id = r.doc_id
+    JOIN langp l ON d.doc_id = l.doc_id
+    JOIN qual q ON d.doc_id = q.doc_id
+    WHERE l.lang_pred <> 'und' AND r.top_share <= 0.5 AND q.quality >= 0.8
+    """
+
+
 # ---------------------------------------------------------------------------
 # round-3 additions: source/sink kernels, resume, bucketing, CRS, streaming
 # ---------------------------------------------------------------------------
@@ -3105,6 +3287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_haversine": q_knn_haversine,         # J1 haversine metric path
         "q_cosine_topk_arrow": q_cosine_topk_arrow, # ANN Arrow/BLAS path
         "q_stateful_dedup": q_stateful_dedup,       # applyInPandasWithState path
+        "q_sessionize": q_sessionize,               # gap sessionization (W-family)
+        "q_curation": q_curation,                   # composed curation pipeline
     }
 
 
@@ -3178,4 +3362,6 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_haversine": _sql_knn_haversine(),
         "q_cosine_topk_arrow": _sql_cosine_topk(),  # path equivalence proof
         "q_stateful_dedup": _sql_stateful_dedup(),
+        "q_sessionize": _sql_sessionize(),
+        "q_curation": _sql_curation(),
     }
