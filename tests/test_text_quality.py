@@ -94,3 +94,32 @@ def test_redact_pii_patterns(spark):
     assert out[2]["n_ssns"] == 1 and "<SSN>" in out[2]["clean_text"]
     assert out[3]["clean_text"] == "clean text no pii"
     assert out[3]["n_emails"] == out[3]["n_phones"] == out[3]["n_ssns"] == 0
+
+
+def test_sessionize_gap_boundary(spark):
+    """Gap strictly greater than the threshold starts a new session; an
+    exact-threshold gap does not (mirrors the oracle SQL's `gap > N`)."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = entry.SESSION_GAP_S
+    rows = [
+        Row(event_id=1, ts=base, user_id=7, event_type="a", value=1.0, props="{}"),
+        # exactly the threshold: same session
+        Row(event_id=2, ts=base + dt.timedelta(seconds=gap), user_id=7,
+            event_type="a", value=2.0, props="{}"),
+        # threshold + 1: new session
+        Row(event_id=3, ts=base + dt.timedelta(seconds=2 * gap + 1), user_id=7,
+            event_type="a", value=4.0, props="{}"),
+    ]
+    df = spark.createDataFrame(rows)
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = entry.q_sessionize(spark, d).orderBy("session_no").collect()
+    assert [r["n_events"] for r in out] == [2, 1]
+    assert abs(out[0]["sum_value"] - 3.0) < 1e-9 and abs(out[1]["sum_value"] - 4.0) < 1e-9
