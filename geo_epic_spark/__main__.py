@@ -146,6 +146,52 @@ def cmd_media_audio_features(a) -> int:
     return 0
 
 
+def cmd_text_signals(a) -> int:
+    """Text-quality signals for curation: token/lang/quality plus Gopher
+    repetition columns, one row per doc."""
+    from geo_epic_spark.operators.text import repetition_report, text_features
+
+    spark = _spark(a.cpus)
+    docs = spark.read.parquet(a.docs)
+    out = text_features(docs).drop("text").join(
+        repetition_report(docs).drop("n_tokens"), "doc_id"
+    )
+    out.write.mode("overwrite").parquet(a.out)
+    print(json.dumps({"cmd": "text signals",
+                      "rows": spark.read.parquet(a.out).count()}))
+    return 0
+
+
+def cmd_text_redact(a) -> int:
+    from geo_epic_spark.operators.text import redact_pii
+
+    spark = _spark(a.cpus)
+    docs = spark.read.parquet(a.docs)
+    redact_pii(docs).write.mode("overwrite").parquet(a.out)
+    print(json.dumps({"cmd": "text redact",
+                      "rows": spark.read.parquet(a.out).count()}))
+    return 0
+
+
+def cmd_dedup_semantic(a) -> int:
+    from geo_epic_spark.operators.dedup import semantic_dedup
+    from geo_epic_spark.operators.similarity import kmeans_centroids_distributed
+
+    spark = _spark(a.cpus)
+    import pyspark.sql.functions as F
+
+    vecs = spark.read.parquet(a.vectors).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = kmeans_centroids_distributed(vecs, c=a.clusters)
+    out = semantic_dedup(vecs, cents, threshold=a.threshold, priority=a.priority)
+    out.write.mode("overwrite").parquet(a.out)
+    kept = spark.read.parquet(a.out).filter("keep").count()
+    print(json.dumps({"cmd": "dedup semantic",
+                      "rows": spark.read.parquet(a.out).count(), "kept": kept}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="geo_epic_spark")
     p.add_argument("--cpus", default=None)
@@ -196,6 +242,15 @@ def main(argv: list[str] | None = None) -> int:
          "--target": {"type": int, "default": 224}})
     add("media", "audio-features", cmd_media_audio_features,
         {"--audio": {"required": True}, "--out": {"required": True}})
+    add("text", "signals", cmd_text_signals,
+        {"--docs": {"required": True}, "--out": {"required": True}})
+    add("text", "redact", cmd_text_redact,
+        {"--docs": {"required": True}, "--out": {"required": True}})
+    add("dedup", "semantic", cmd_dedup_semantic,
+        {"--vectors": {"required": True}, "--out": {"required": True},
+         "--threshold": {"type": float, "default": 0.95},
+         "--clusters": {"type": int, "default": 16},
+         "--priority": {"default": "key"}})
 
     a = p.parse_args(argv)
     return a.fn(a)

@@ -123,3 +123,90 @@ def test_sessionize_gap_boundary(spark):
         out = entry.q_sessionize(spark, d).orderBy("session_no").collect()
     assert [r["n_events"] for r in out] == [2, 1]
     assert abs(out[0]["sum_value"] - 3.0) < 1e-9 and abs(out[1]["sum_value"] - 4.0) < 1e-9
+
+
+def test_cli_text_and_semantic_groups(spark, tmp_path, capsys):
+    """CLI parity for the text/semantic-dedup groups (in-process main)."""
+    import json
+
+    from geo_epic_spark.__main__ import main
+
+    docs_p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [Row(doc_id=i, text=f"the quick doc {i} of the corpus") for i in range(30)]
+    ).write.parquet(docs_p)
+    out1 = str(tmp_path / "sig")
+    assert main(["text", "signals", "--docs", docs_p, "--out", out1]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 30
+    cols = set(spark.read.parquet(out1).columns)
+    assert {"doc_id", "quality", "lang_pred", "top_unigram_share"} <= cols
+
+    out2 = str(tmp_path / "red")
+    assert main(["text", "redact", "--docs", docs_p, "--out", out2]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 30
+
+    vec_p = str(tmp_path / "vecs")
+    rows = _vec_rows(spark)
+    spark.createDataFrame(rows).write.parquet(vec_p)
+    out3 = str(tmp_path / "sem")
+    assert main(["dedup", "semantic", "--vectors", vec_p, "--out", out3,
+                 "--threshold", "0.999", "--clusters", "2"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == len(rows) and res["kept"] == len(rows) - 2
+
+
+def test_repetition_report_matches_pandas_oracle(spark):
+    """Property-style check vs a pure-pandas recomputation on a seeded
+    random corpus (small vocab forces real repetition)."""
+    import collections
+
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(1, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    got = {r["doc_id"]: r for r in repetition_report(df).collect()}
+    for i, t in docs:
+        toks = t.lower().strip().split()
+        uni = collections.Counter(toks)
+        bis = collections.Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert abs(r["top_unigram_share"] - max(uni.values()) / len(toks)) < 1e-6
+        exp_bi = (max(bis.values()) / sum(bis.values())) if bis else 0.0
+        assert abs(r["top_bigram_share"] - exp_bi) < 1e-6
+        dup = sum(c for c in uni.values() if c >= 2) / len(toks)
+        assert abs(r["dup_token_frac"] - dup) < 1e-6
+
+
+def test_semantic_dedup_matches_greedy_oracle(spark):
+    """semantic_dedup(priority='key') vs a brute-force numpy greedy pass on
+    a seeded corpus with real near-dup structure."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    base = rng.normal(0, 1, (30, 6))
+    # plant near-dups: rows 30..39 are jittered copies of rows 0..9
+    vecs = np.vstack([base, base[:10] + rng.normal(0, 0.01, (10, 6))])
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    cents = [rows[i].embedding for i in range(3)]
+    thr = 0.98
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(spark.createDataFrame(rows), cents, threshold=thr).collect()}
+
+    c = np.array(cents)
+    assign = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / (norms[:, None] * norms[None, :])
+    for i in range(len(vecs)):
+        dup = any(
+            assign[j] == assign[i] and cos[i, j] >= thr for j in range(i)
+        )
+        assert out[i]["keep"] == (not dup), i
+        assert out[i]["cluster_id"] == assign[i], i
