@@ -84,3 +84,18 @@ def test_media_pipelines_are_single_stage(spark):
     assert shuffle_free(a), formatted_plan(a)
     v = media.frame_sample(media.synth_video_df(spark, 4), every=2)
     assert shuffle_free(v), formatted_plan(v)
+
+
+def test_sessionize_single_exchange(spark):
+    """The sessionization DAG (lag window -> running-sum session id ->
+    per-session rollup) must reuse ONE user_id hash partitioning: Catalyst
+    recognizes HashPartitioning(user_id) satisfies the (user_id, session_no)
+    clustering of the final aggregate, so 10^12 events shuffle exactly once."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.q_sessionize(spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
