@@ -663,11 +663,20 @@ def semantic_dedup(
         eager=False
     )
 
-    # pre-normalize once so the verify condition is a plain dot product
+    # pre-normalize once so the verify condition is a plain dot product.
+    # Zero-norm vectors would make the cosine NaN — and Spark orders NaN
+    # ABOVE every threshold (silently marking them duplicates) while other
+    # engines return false; map them to the zero vector instead, so they
+    # are never duplicates of anything (cosine 0) in a well-defined way.
     norm = F.sqrt(
         F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
-    ranked_n = ranked.withColumn("__v", F.transform(vec, lambda x: x / norm))
+    ranked_n = ranked.withColumn(
+        "__v",
+        F.when(norm > 0, F.transform(vec, lambda x: x / norm)).otherwise(
+            F.transform(vec, lambda x: x * F.lit(0.0))
+        ),
+    )
     a, b = ranked_n.alias("a"), ranked_n.alias("b")
     dot = F.aggregate(
         F.zip_with("a.__v", "b.__v", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x

@@ -210,3 +210,18 @@ def test_semantic_dedup_matches_greedy_oracle(spark):
         )
         assert out[i]["keep"] == (not dup), i
         assert out[i]["cluster_id"] == assign[i], i
+
+
+def test_semantic_dedup_zero_norm_vectors_kept(spark):
+    """Zero embeddings must never be marked duplicates (NaN-cosine guard):
+    Spark orders NaN above every threshold, so an unguarded normalize would
+    silently drop all-but-one zero vector per cluster."""
+    rows = [
+        Row(vec_id=0, embedding=[0.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[1.0, 0.0, 0.0, 0.0]),
+    ]
+    out = semantic_dedup(
+        spark.createDataFrame(rows), cents=[[0.0, 0.0, 0.0, 0.0]], threshold=0.9
+    ).collect()
+    assert all(r["keep"] for r in out), out
