@@ -7,6 +7,7 @@ Usage: python scripts/check_oracles.py [sf_dir] [only_query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -53,6 +54,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_ok = n_bad = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -61,6 +63,8 @@ def main() -> int:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": str(e)[:300]}
             n_bad += 1
             continue
         t_spark = time.time() - t0
@@ -80,6 +84,11 @@ def main() -> int:
         ok_cols = sorted(got.columns) == sorted(want.columns)
         g, w = norm(got), norm(want)
         ok_hash = ok_rows and ok_cols and value_hash(g) == value_hash(w)
+        results[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols, "hash_match": ok_hash,
+            "spark_rows": len(got), "oracle_rows": len(want), "err": None,
+            "spark_sec": round(t_spark, 2),
+        }
         status = "OK   " if (ok_rows and ok_cols and ok_hash) else "FAIL "
         print(f"{status}{name}: rows {len(got)}/{len(want)} cols={ok_cols} hash={ok_hash} "
               f"[spark {t_spark:.1f}s, duck {t_duck:.1f}s]")
@@ -98,6 +107,13 @@ def main() -> int:
         else:
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} failed")
+    json_out = os.environ.get("CHECK_ORACLES_JSON")
+    if json_out and not only:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} rows)")
     spark.stop()
     return 1 if n_bad else 0
 
