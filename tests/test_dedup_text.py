@@ -454,3 +454,16 @@ def test_kmeans_distributed_objective_comparable_to_driver(spark):
     obj_driver = objective(kmeans_centroids(df, c=8, iters=3))
     obj_dist = objective(kmeans_centroids_distributed(df, c=8, iters=3))
     assert obj_dist <= 1.2 * obj_driver, (obj_dist, obj_driver)
+
+
+def test_minhash_signature_paths_identical(spark):
+    """'arrow' (map-only numpy signatures) and 'agg' (explode + 64-min
+    groupBy) must produce the identical verified pair set: the permutation
+    minima are bit-identical by construction, banding equality follows."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(threshold=0.125, num_hashes=64, bands=32, partitions=8)
+    arrow = {(r.id_a, r.id_b, round(r.jaccard, 9))
+             for r in minhash_lsh_pairs(docs, signature_path="arrow", **kw).collect()}
+    agg = {(r.id_a, r.id_b, round(r.jaccard, 9))
+           for r in minhash_lsh_pairs(docs, signature_path="agg", **kw).collect()}
+    assert arrow == agg and len(arrow) > 0
