@@ -25,12 +25,20 @@ OPC_LAYOUT = [
 ] + [(f"OPV{i}", 8, "double") for i in range(1, 9)]  # io/opc.py:32-36
 
 # EPIC annual carbon/management output (.ACM): the one truly fixed-width
-# reference OUTPUT layout (`geoEpic/io/outputs.py:155-160`,
-# widths = [5,5,5] + [9]*24 with the 31-name header the loader re-applies)
+# reference OUTPUT layout (`geoEpic/io/outputs.py:150-160`). NOTE: the
+# reference loader is self-inconsistent — it parses widths [5,5,5]+[9]*24
+# (27 columns) and then assigns a 31-name header ("Y RT# PRCP ... OCPD TOC
+# APBC TAP TNO3"), an assignment pandas would reject on a 27-column frame;
+# real ACM files therefore carry the four trailing columns and the widths
+# list is the reference's bug (r3 ADVICE). This layout resolves the
+# inconsistency the other way: all 31 names with widths [5,5,5]+[9]*28.
+# One deliberate rename: the reference's "RT#" is "RT" here ('#' forces
+# backtick quoting in every SQL surface).
 _ACM_NAMES = [
     "Y", "RT", "PRCP", "ET_pot", "ET", "Q", "SSF", "PRK", "CVF", "MUSS",
     "YW", "GMN", "NMN", "NFIX", "NITR", "AVOL", "DN", "YON", "QNO3", "SSFN",
-    "PRKN", "MNP", "YP", "QAP", "PRKP", "LIME", "OCPD",
+    "PRKN", "MNP", "YP", "QAP", "PRKP", "LIME", "OCPD", "TOC", "APBC",
+    "TAP", "TNO3",
 ]
 ACM_LAYOUT = (
     [("Y", 5, "int"), ("RT", 5, "int"), ("PRCP", 5, "double")]
@@ -77,8 +85,11 @@ def parse_fwf_lines(
     cols = []
     pos = 1  # substring() is 1-indexed
     for name, width, typ in layout:
+        # try_cast, not cast: a field past the end of a short line is '',
+        # which ANSI cast rejects — pd.read_fwf semantics are NaN there
+        # (e.g. an ACM file truncated to the reference's 27-width list)
         cols.append(
-            F.trim(F.substring(F.col(value), pos, width)).cast(typ).alias(name)
+            F.trim(F.substring(F.col(value), pos, width)).try_cast(typ).alias(name)
         )
         pos += width
     out = df.select(*cols)
@@ -108,16 +119,31 @@ def read_epic_output(spark: SparkSession, path: str, kind: str) -> DataFrame:
     DTP/DCS families): whitespace-separated, ``skiprows`` junk lines, then a
     header line naming the columns. Columns are cast to double when every
     sampled value parses (the pandas type-inference analog, decided once
-    driver-side from the header + first data line); Y/M/D families get the
+    driver-side from the header + up to 20 sampled body lines); Y/M/D
+    families get the
     assembled ``Date`` string the reference loaders add. The scan itself is
     a distributed regex-split over ``spark.read.text`` — no Python per row."""
     skiprows, has_date = EPIC_OUTPUT_KINDS[kind.upper()]
-    lines = _skip_file_header(spark.read.text(path), skiprows)
-    head = lines.limit(2).collect()
-    if not head:
+    # header = the (skiprows+1)-th line of each file — addressed by its
+    # per-file row number, never by a bare limit() that could surface a
+    # mid-file data row or (multi-file dirs) another file's body
+    w = Window.partitionBy(F.input_file_name()).orderBy(
+        F.monotonically_increasing_id()
+    )
+    numbered = spark.read.text(path).withColumn("__rn", F.row_number().over(w))
+    headers = [
+        r["value"]
+        for r in numbered.filter(F.col("__rn") == skiprows + 1)
+        .select("value").distinct().collect()
+    ]
+    if not headers:
         raise ValueError(f"read_epic_output: no rows in {path}")
-    names = head[0]["value"].split()
-    sample = head[1]["value"].split() if len(head) > 1 else []
+    if len(headers) > 1:
+        raise ValueError(
+            f"read_epic_output: files in {path} disagree on the header "
+            f"line: {headers[:3]}"
+        )
+    names = headers[0].split()
 
     def _numeric(tok: str) -> bool:
         try:
@@ -126,14 +152,31 @@ def read_epic_output(spark: SparkSession, path: str, kind: str) -> DataFrame:
         except ValueError:
             return False
 
+    # a header is column NAMES: at least one token must be non-numeric.
+    # (r3 ADVICE: a wrong skiprows — or a headerless file — used to degrade
+    # every column to string silently; fail loudly instead.)
+    if names and all(_numeric(t) for t in names):
+        raise ValueError(
+            f"read_epic_output: line {skiprows + 1} of {path} does not look "
+            f"like a header (every token is numeric): {headers[0]!r}"
+        )
     # body = everything after skiprows junk lines + 1 header line, per file
-    body = _skip_file_header(spark.read.text(path), skiprows + 1)
+    body = numbered.filter(F.col("__rn") > skiprows + 1).drop("__rn")
+    # type inference from up to 20 BODY rows (headers are already stripped,
+    # so a multi-file dir can never leak another file's header into the
+    # sample; r3 ADVICE: a single sampled row silently cast mixed columns
+    # to NULL-on-parse-failure). A column is numeric only when every
+    # sampled value for it parses.
+    sampled = [r["value"].split() for r in body.limit(20).collect()]
     toks = F.split(F.regexp_replace(F.trim("value"), r"\s+", " "), " ")
     cols = []
     for i, name in enumerate(names):
         c = F.element_at(toks, i + 1)
-        if i < len(sample) and _numeric(sample[i]):
-            c = c.cast("double")
+        vals = [row[i] for row in sampled if i < len(row)]
+        if vals and all(_numeric(v) for v in vals):
+            # try_cast: a non-numeric straggler PAST the 20-row sample
+            # becomes NULL rather than failing the whole scan under ANSI
+            c = c.try_cast("double")
         cols.append(c.alias(name))
     out = body.select(*cols).filter(F.col(names[0]).isNotNull())
     if has_date and all(c in names for c in ("Y", "M", "D")):

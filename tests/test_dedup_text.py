@@ -307,6 +307,27 @@ def test_cluster_pairs_label_extends_budget_on_deep_chain(spark):
     assert any("not converged" in str(c.message) for c in caught)
 
 
+def test_cluster_pairs_chain_budget(spark):
+    """r3 ADVICE (dedup.py label loop): the budget-extension path on a
+    HIGH-diameter graph — ~40 propagation rounds — must not accumulate a
+    40-join lineage for Catalyst to analyze. The per-round lazy
+    localCheckpoint keeps the plan <= 2 joins deep, so this completes in
+    round-count-linear time instead of blowing up driver analysis."""
+    import warnings as w
+
+    from geo_epic_spark.operators.dedup import cluster_pairs
+
+    n = 40  # diameter 39 chain; max_iter=5 doubles 5 -> 10 -> 20 -> 40
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in cluster_pairs(docs, pairs, max_iter=5).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_cosine_topk_arrow_deterministic_ties(spark):
     """Duplicate vectors produce exact cosine ties; the per-batch Arrow
     top-k must keep the LOWEST-key tie members (matching the JVM path's
@@ -329,24 +350,71 @@ def test_cosine_topk_arrow_deterministic_ties(spark):
     assert sorted(arrow["vec_id"]) == [0, 1, 2, 3, 4]
 
 
+def test_cosine_topk_arrow_ties_at_k_boundary_in_one_batch(spark):
+    """r3 VERDICT item 6: a SINGLE batch holding more tied rows than k is
+    the case argpartition-only survivor selection gets wrong — on 12 rows
+    tied at cosine 1.0 with k=5, np.argpartition keeps {1,7,9,10,11}
+    (measured), dropping the low-id tie members the final (cosine desc,
+    vec_id asc) window needs. The lexsort tie-set selection must keep ids
+    0..4 both when all ties share one batch and when they straddle two."""
+    from geo_epic_spark.operators.similarity import cosine_topk_arrow
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, [x * (1.0 + i) for x in base]) for i in range(12)]  # ties
+    rows += [(12 + i, [float(i + 1), 0.0, 0.0, 1.0]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qlist = [(0, base)]
+    # one batch: all 12 ties together, k-boundary inside the tie set
+    one = cosine_topk_arrow(df.coalesce(1), qlist, k=5).toPandas()
+    assert sorted(one["vec_id"]) == [0, 1, 2, 3, 4]
+    assert one.sort_values("rank")["vec_id"].tolist() == [0, 1, 2, 3, 4]
+    # ties straddling two batches: each batch must surface ITS lowest-id
+    # tie members or the global window cannot recover id 0..4
+    two = cosine_topk_arrow(
+        df.repartitionByRange(2, "vec_id"), qlist, k=5
+    ).toPandas()
+    assert sorted(two["vec_id"]) == [0, 1, 2, 3, 4]
+
+
 def test_planes_bands_for_threshold_clears_target():
     """Derived (planes, bands): S-curve recall at the threshold clears the
-    target, band replication stays within the cap, and planes is maximal
-    (the next-larger plane count would need > max_bands bands)."""
+    target, band replication stays within the cap, and the choice minimizes
+    the documented cost model bands*(1 + n_rows*2^-planes) over all
+    feasible configs (r3 advisory: cost-aware, not planes-maximal)."""
     import math
 
     from geo_epic_spark.operators.dedup import planes_bands_for_threshold
 
-    for thr in (0.2, 0.35, 0.45, 0.6, 0.8, 0.95, 0.99):
+    def feasible(thr, target=0.95, max_bands=16, max_planes=16):
         p = 1.0 - math.acos(thr) / math.pi
-        planes, bands = planes_bands_for_threshold(thr, 0.95, max_bands=16)
-        recall = 1.0 - (1.0 - p ** planes) ** bands
-        assert recall >= 0.95, (thr, planes, bands, recall)
-        assert 1 <= bands <= 16
-        if planes < 16:
-            q_up = p ** (planes + 1)
-            need_up = math.ceil(math.log(0.05) / math.log(1.0 - q_up))
-            assert need_up > 16, "planes not maximal"
+        out = []
+        for planes in range(1, max_planes + 1):
+            q = p ** planes
+            need = 1 if q >= target else math.ceil(
+                math.log(1 - target) / math.log(1 - q))
+            if need <= max_bands:
+                out.append((planes, need))
+        return out
+
+    for thr in (0.2, 0.35, 0.45, 0.6, 0.8, 0.95, 0.99):
+        for n_rows in (500, 5000, 1 << 20):
+            p = 1.0 - math.acos(thr) / math.pi
+            planes, bands = planes_bands_for_threshold(
+                thr, 0.95, max_bands=16, n_rows=n_rows)
+            recall = 1.0 - (1.0 - p ** planes) ** bands
+            assert recall >= 0.95, (thr, planes, bands, recall)
+            assert 1 <= bands <= 16
+            cost = bands * (1 + n_rows * 2.0 ** -planes)
+            for pl, bd in feasible(thr):
+                assert cost <= bd * (1 + n_rows * 2.0 ** -pl) + 1e-9, (
+                    thr, n_rows, (planes, bands), (pl, bd))
+    # at the default corpus scale the verify term dominates: the chooser
+    # lands on the same planes-maximal config the r2 version produced, so
+    # measured RECALL.md numbers and oracle rows carry over unchanged
+    assert planes_bands_for_threshold(0.95, 0.95) == (16, 15)
+    assert planes_bands_for_threshold(0.45, 0.95) == (4, 16)
+    # on a small corpus the shuffle term re-balances toward fewer bands
+    assert planes_bands_for_threshold(0.95, 0.95, n_rows=500) == (11, 9)
 
 
 def test_embedding_near_dup_auto_config_recall(spark):
@@ -429,10 +497,14 @@ def test_build_ivf_index_persisted_roundtrip(spark, tmp_path):
     assert (out.groupby("q_id")["rank"].max() == 5).all()
 
 
-def test_kmeans_distributed_objective_comparable_to_driver(spark):
+def test_kmeans_distributed_objective_comparable_to_local_lloyd(spark):
     """The distributed trainer's k-means objective (sum of squared distance
-    to the nearest centroid) is no worse than ~1.2x the driver-sample Lloyd
-    on the same data — full-table participation should not LOSE quality."""
+    to the nearest centroid) is no worse than ~1.2x an in-memory full-data
+    Lloyd reference with random seeding — the partial-stats merge and
+    hash-based seeding must not LOSE quality. (r3 VERDICT item 4 removed
+    the driver-sample trainer; ``kmeans_centroids`` is now an alias for the
+    distributed pass, asserted here so the per-call count()+toPandas seed
+    can never silently come back.)"""
     import numpy as np
 
     from geo_epic_spark.operators.similarity import (
@@ -451,9 +523,27 @@ def test_kmeans_distributed_objective_comparable_to_driver(spark):
         d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1)
         return d2.min(1).sum()
 
-    obj_driver = objective(kmeans_centroids(df, c=8, iters=3))
+    def local_lloyd(c=8, iters=3):
+        rng = np.random.Generator(np.random.PCG64(7))
+        cents = v[rng.choice(len(v), size=c, replace=False)].copy()
+        for _ in range(iters):
+            d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(c):
+                m = assign == j
+                if m.any():
+                    cents[j] = v[m].mean(0)
+        return cents
+
+    obj_ref = objective(local_lloyd())
     obj_dist = objective(kmeans_centroids_distributed(df, c=8, iters=3))
-    assert obj_dist <= 1.2 * obj_driver, (obj_dist, obj_driver)
+    assert obj_dist <= 1.2 * obj_ref, (obj_dist, obj_ref)
+    # the alias IS the distributed trainer (same seeding contract when a
+    # key column is passed)
+    assert kmeans_centroids(df, c=8, iters=3, key="vec_id") == \
+        kmeans_centroids_distributed(df, c=8, iters=3)
+    # and the key-less path (hash of the vector itself) is deterministic
+    assert kmeans_centroids(df, c=8, iters=2) == kmeans_centroids(df, c=8, iters=2)
 
 
 def test_minhash_signature_paths_identical(spark):

@@ -94,23 +94,36 @@ def test_read_fwf_skiprows_multifile(spark, tmp_path):
 
 
 def test_acm_fixture_roundtrip(spark, tmp_path):
-    """Reference ACM output layout (`geoEpic/io/outputs.py:155-160`,
-    widths [5,5,5]+[9]*24): a reference-shaped fixture reads back through
-    read_fwf with the declared ACM_LAYOUT."""
+    """Reference ACM output layout (`geoEpic/io/outputs.py:150-160`): the
+    reference parses 27 widths then assigns a 31-name header — ACM_LAYOUT
+    resolves that inconsistency as 31 columns / widths [5,5,5]+[9]*28 (r3
+    ADVICE). A full 31-column fixture reads back exactly, and a truncated
+    27-column file (the reference widths list taken literally) still parses
+    with the four trailing columns null."""
     from geo_epic_spark.sources.fixedwidth import ACM_LAYOUT, read_fwf
 
-    assert [w for _, w, _ in ACM_LAYOUT] == [5, 5, 5] + [9] * 24
+    assert [w for _, w, _ in ACM_LAYOUT] == [5, 5, 5] + [9] * 28
+    assert [n for n, _, _ in ACM_LAYOUT][-4:] == ["TOC", "APBC", "TAP", "TNO3"]
     hdr = "   Y  RT# PRCP" + "".join(f"{n:>9}" for n, _, _ in ACM_LAYOUT[3:])
     row1 = f"{2020:>5}{1:>5}{32.1:>5}" + "".join(
-        f"{(i + 1) * 1.25:>9}" for i in range(24))
+        f"{(i + 1) * 1.25:>9}" for i in range(28))
     row2 = f"{2021:>5}{1:>5}{28.4:>5}" + "".join(
-        f"{(i + 2) * 0.5:>9}" for i in range(24))
+        f"{(i + 2) * 0.5:>9}" for i in range(28))
     p = tmp_path / "site1.ACM"
     p.write_text(hdr + "\n" + row1 + "\n" + row2 + "\n")
     df = read_fwf(spark, str(p), ACM_LAYOUT, skiprows=1).toPandas()
     assert df["Y"].tolist() == [2020, 2021]
     assert df["ET"].tolist() == [2.5, 1.5]   # ET is the 2nd 9-wide column
     assert df["OCPD"].tolist() == [30.0, 12.5]
+    assert df["TNO3"].tolist() == [35.0, 14.5]  # 28th 9-wide column
+    # truncated file (reference widths taken literally): trailing cols null
+    p27 = tmp_path / "short.ACM"
+    p27.write_text(
+        hdr[: 15 + 9 * 24] + "\n" + row1[: 15 + 9 * 24] + "\n"
+    )
+    short = read_fwf(spark, str(p27), ACM_LAYOUT, skiprows=1).toPandas()
+    assert short["OCPD"].tolist() == [30.0]
+    assert short["TOC"].isna().all() and short["TNO3"].isna().all()
 
 
 def test_read_epic_output_acy_dgn(spark, tmp_path):
@@ -137,3 +150,39 @@ def test_read_epic_output_acy_dgn(spark, tmp_path):
     assert len(out) == 4                              # headers dropped per file
     assert set(out["Date"]) == {"2020-05-01", "2020-05-02"}
     assert sorted(out["AGB"]) == [10.0, 10.4, 10.4, 17.5]
+
+
+def test_read_epic_output_inference_hardening(spark, tmp_path):
+    """r3 ADVICE fixes: (a) a numeric 'header' (wrong skiprows / headerless
+    file) raises instead of silently degrading every column to string;
+    (b) inference samples many body rows, so a column that is numeric in
+    row 1 but mixed later stays string instead of casting the strings to
+    NULL; (c) a multi-file dir where one file has an EMPTY body still
+    infers from the other file's rows, never from a header line."""
+    import pytest
+
+    from geo_epic_spark.sources.fixedwidth import read_epic_output
+
+    junk = "".join(f"junk header line {i}\n" for i in range(10))
+    # (a) numeric header
+    bad = junk + "2020 5 1 12.5\n2020 5 2 13.0\n"
+    (tmp_path / "bad.ACY").write_text(bad)
+    with pytest.raises(ValueError, match="does not look like a header"):
+        read_epic_output(spark, str(tmp_path / "bad.ACY"), "ACY")
+    # (b) mixed column: first row numeric, third row a flag string
+    mixed = junk + "YR CPNM YLDG\n2020 CORN 9.13\n2021 SOYB 3.20\n2022 WWHT NA\n"
+    (tmp_path / "mix.ACY").write_text(mixed)
+    got = read_epic_output(spark, str(tmp_path / "mix.ACY"), "ACY").toPandas()
+    assert got["YLDG"].tolist() == ["9.13", "3.20", "NA"]  # stays string
+    assert got["YR"].tolist() == [2020.0, 2021.0, 2022.0]
+    # (c) empty-body file alongside a populated one
+    d = tmp_path / "acydir"
+    d.mkdir()
+    (d / "full.ACY").write_text(junk + "YR CPNM YLDG\n2020 CORN 9.13\n")
+    (d / "empty.ACY").write_text(junk + "YR CPNM YLDG\n")
+    out = read_epic_output(spark, str(d), "ACY").toPandas()
+    assert out["YLDG"].tolist() == [9.13]                  # numeric survives
+    # and disagreeing headers across files raise
+    (d / "other.ACY").write_text(junk + "YR CPNM OTHER\n2020 CORN 1.0\n")
+    with pytest.raises(ValueError, match="disagree on the header"):
+        read_epic_output(spark, str(d), "ACY")
