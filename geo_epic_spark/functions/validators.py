@@ -47,6 +47,50 @@ HARVEST_CODES = (650,)
 FALLOW_CODES = (14,)
 
 
+# P2: the reference's run-info load assertion (`core/workspace.py:315-317`
+# required = {SiteID, soil, opc, dly, lat, lon}; `sites/generate.py:33-35`)
+RUN_INFO_REQUIRED = ("SiteID", "soil", "opc", "dly", "lat", "lon")
+
+
+def require_columns(df: DataFrame, required: list[str] | tuple[str, ...]) -> DataFrame:
+    """P2 required-column validation, assertion form: raise at plan-build
+    time (driver-side, zero jobs) when the frame is missing any required
+    column — the distributed analog of the reference's load-time
+    ``if not required.issubset(columns): raise`` (`core/workspace.py:
+    315-317`). Returns the frame unchanged for chaining."""
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"missing required columns {missing}; present: {df.columns}"
+        )
+    return df
+
+
+def required_column_violations(
+    df: DataFrame, required: list[str] | tuple[str, ...]
+) -> DataFrame:
+    """P2, report form: one violations row per problem — absent required
+    columns (issue `__missing_column`, n_bad = row count: every row lacks
+    it) and NULLs inside present required columns (issue `__null`). Empty
+    output == the frame satisfies the contract. One single-pass aggregate
+    (count + per-column null sums), then a stack() melt — same shape as
+    ``range_violations`` so `workspace validate` surfaces all checks in one
+    union."""
+    present = [c for c in required if c in df.columns]
+    missing = [c for c in required if c not in df.columns]
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(c) for c in present
+    ]
+    counts = df.agg(*aggs)
+    items = [f"'{c}', '__missing_column', __n" for c in missing] + [
+        f"'{c}', '__null', `{c}`" for c in present
+    ]
+    melted = counts.selectExpr(
+        f"stack({len(items)}, {', '.join(items)}) as (col_name, issue, n_bad)"
+    )
+    return melted.filter(F.col("n_bad") > 0)
+
+
 def _bad(col: str, lo: float, hi: float, zero_ok: bool) -> F.Column:
     # nulls count as violations in BOTH branches (the reference's row loop
     # treats NaN as bad regardless of the sentinel-zero escape; `x & (c != 0)`

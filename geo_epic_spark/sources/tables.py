@@ -12,6 +12,7 @@ format backs a table name.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -26,6 +27,30 @@ def iceberg_available(spark: SparkSession) -> bool:
     confs = spark.sparkContext.getConf().getAll()
     return any(k.startswith("spark.sql.catalog.") and "iceberg" in v.lower()
                for k, v in confs)
+
+
+def read_layer(
+    spark: SparkSession,
+    path: str,
+    columns: list[int],
+    names: list[str],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """S3 column-pruned layer scan (`geoEpic/utils/misc.py:9-41`
+    ``read_gdb_layer(gdb, layer, columns, names)``): project a wide layer
+    down to the requested column INDEXES, renamed — the reference's
+    column-index contract for ESRI GDB layers, where reading all fields of a
+    state-level gSSURGO layer is the 30-minute path and the pruned read is
+    the semantic. Declaring the projection at scan construction lets
+    Catalyst prune the file ReadSchema to exactly these columns; the wide
+    layer is never materialized (q_pruned_scan asserts this in-query)."""
+    if len(columns) != len(names):
+        raise ValueError("columns and names must have the same length")
+    df = spark.read.format(fmt).load(path)
+    all_cols = df.columns
+    return df.select(
+        *[F.col(all_cols[i]).alias(n) for i, n in zip(columns, names)]
+    )
 
 
 class TableIO:

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
+import pytest
 
 from geo_epic_spark.sources.fixedwidth import (
     DLY_LAYOUT, OPC_LAYOUT, format_fwf, read_fwf,
@@ -186,3 +188,26 @@ def test_read_epic_output_inference_hardening(spark, tmp_path):
     (d / "other.ACY").write_text(junk + "YR CPNM OTHER\n2020 CORN 1.0\n")
     with pytest.raises(ValueError, match="disagree on the header"):
         read_epic_output(spark, str(d), "ACY")
+
+
+def test_read_layer_prunes_to_named_indexes(spark, tmp_path):
+    """S3: read_gdb_layer(columns, names) parity (`utils/misc.py:9-41`) —
+    column-index projection with rename, and the parquet ReadSchema holds
+    ONLY the selected columns (the pruned read IS the semantic)."""
+    from geo_epic_spark.plans.checks import read_schemas
+    from geo_epic_spark.sources.tables import read_layer
+
+    wide = spark.range(100).select(
+        "id", *[(F.col("id") * (i + 1)).alias(f"w{i}") for i in range(1, 12)]
+    )
+    path = str(tmp_path / "layer")
+    wide.write.parquet(path)
+    out = read_layer(spark, path, [2, 9], ["depth", "om"])
+    assert out.columns == ["depth", "om"]
+    schemas = read_schemas(out)
+    assert schemas and all("w2" in s and "w9" in s and "w3" not in s
+                           and "id" not in s for s in schemas)
+    rows = {r.depth: r.om for r in out.collect()}
+    assert rows[3 * 7] == 10 * 7  # id=7: w2=id*3, w9=id*10
+    with pytest.raises(ValueError, match="same length"):
+        read_layer(spark, path, [1, 2], ["only_one"])
