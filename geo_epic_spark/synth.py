@@ -363,3 +363,43 @@ def soil_layers_sql(n_cokeys: int, per: int = 6) -> str:
            {u_sql('l', M[3], 107)} * 100.0 AS ksat_r
     FROM (SELECT CAST(range AS BIGINT) AS l FROM range({n_cokeys * per}))
     """
+
+
+# ---------------------------------------------------------------------------
+# synthetic text corpus (scaling evidence for the dedup family: arbitrary-
+# size documents with planted near-duplicate neighbors, pure Column exprs)
+# ---------------------------------------------------------------------------
+
+def documents_synth_df(
+    spark: SparkSession,
+    n_docs: int,
+    n_words: int = 50,
+    vocab: int = 20000,
+    dup_every: int = 10,
+) -> DataFrame:
+    """Deterministic corpus: doc d's j-th word is ``w<xxhash64(base,j) %
+    vocab>`` where base=d, except every ``dup_every``-th doc (d % dup_every
+    == 1) copies the previous doc's words with ONE position jittered — a
+    planted near-duplicate (Jaccard ~= (n-1)/(n+1) on word shingles), so a
+    minhash/LSH run over this corpus does representative candidate-join and
+    verify work at any size. All JVM-side Column expressions; generation is
+    never the bottleneck of what it feeds."""
+    d = F.col("id")
+    is_dup = (d % F.lit(dup_every) == 1) & (d > 0)
+    base = F.when(is_dup, d - 1).otherwise(d)
+    jitter_pos = F.pmod(d, F.lit(n_words))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda j: F.when(
+            is_dup & (j == jitter_pos),
+            F.concat(F.lit("x"), d.cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(base, j), F.lit(vocab)).cast("string"),
+            )
+        ),
+    )
+    return spark.range(n_docs).select(
+        d.alias("doc_id"), F.array_join(words, " ").alias("text")
+    )

@@ -28,6 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_IMG = int(os.environ.get("SCALING_N_IMG", "24000000"))
 N_POLY = int(os.environ.get("SCALING_N_POLY", "2000"))
 REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+# SCALING_OP=pip (default, the flagship tile-assignment join) or minhash
+# (the dedup family: minhash+LSH near-dup pairs over a synthetic corpus
+# with planted neighbors — second-operator evidence that the scaling
+# property is engine-wide, not one kernel's)
+OP = os.environ.get("SCALING_OP", "pip")
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "300000"))
 # N and 4N parallelism levels. Default 4->16: with 32 physical cores the
 # 8->32 pair saturates the socket's memory bandwidth probing the shared
 # broadcast hash table (a single-box artifact a multi-executor cluster does
@@ -51,11 +57,19 @@ def measure(cpus: int) -> dict:
         # identical heap at both levels so GC headroom is not the variable
         "spark.driver.memory": "64g",
     })
-    imgs = synth.images_meta_df(spark, N_IMG).select("i", "cx", "cy")
-    flds = synth.fields_df(spark, N_POLY).select("poly_id", "xs", "ys")
+    if OP == "minhash":
+        from geo_epic_spark.operators.dedup import minhash_lsh_pairs
 
-    def job():
-        return pip_join(imgs, flds, res=0.05, lon="cx", lat="cy").count()
+        docs = synth.documents_synth_df(spark, N_DOCS)
+
+        def job():
+            return minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64).count()
+    else:
+        imgs = synth.images_meta_df(spark, N_IMG).select("i", "cx", "cy")
+        flds = synth.fields_df(spark, N_POLY).select("poly_id", "xs", "ys")
+
+        def job():
+            return pip_join(imgs, flds, res=0.05, lon="cx", lat="cy").count()
 
     # warm-up: full-size run primes JVM JIT, codegen cache, broadcast
     load_pre = round(os.getloadavg()[0], 1)
@@ -95,12 +109,14 @@ def main() -> None:
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
         res[cpus] = json.loads(line[len("RESULT "):])
-    thr_lo = N_IMG / res[lo]["sec"]
-    thr_hi = N_IMG / res[hi]["sec"]
+    n_rows = N_DOCS if OP == "minhash" else N_IMG
+    thr_lo = n_rows / res[lo]["sec"]
+    thr_hi = n_rows / res[hi]["sec"]
     eff = thr_hi / ((hi / lo) * thr_lo)
     print(json.dumps({
-        "job": "tile_assign (PIP join)",
-        "n_images": N_IMG,
+        "job": ("minhash_lsh_pairs (dedup)" if OP == "minhash"
+                else "tile_assign (PIP join)"),
+        "n_images": n_rows,
         "n_polys": N_POLY,
         "result_rows": res[hi]["result_rows"],
         f"sec_local{lo}": round(res[lo]["sec"], 2),

@@ -557,3 +557,25 @@ def test_minhash_signature_paths_identical(spark):
     agg = {(r.id_a, r.id_b, round(r.jaccard, 9))
            for r in minhash_lsh_pairs(docs, signature_path="agg", **kw).collect()}
     assert arrow == agg and len(arrow) > 0
+
+
+def test_documents_synth_corpus(spark):
+    """Scaling-corpus generator: every dup_every-th doc is a planted
+    near-duplicate of its predecessor (exactly one word jittered), all
+    other docs share no structure; minhash over it finds exactly the
+    planted pairs at a high threshold."""
+    from geo_epic_spark import synth
+
+    df = synth.documents_synth_df(spark, 200, n_words=20, dup_every=10)
+    rows = {r.doc_id: r.text.split() for r in df.collect()}
+    assert len(rows) == 200
+    for d in range(1, 200, 10):
+        same = sum(a == b for a, b in zip(rows[d], rows[d - 1]))
+        assert same == 19 and rows[d][d % 20].startswith("x")
+    pairs = minhash_lsh_pairs(
+        synth.documents_synth_df(spark, 200, n_words=20, dup_every=10),
+        threshold=0.5, num_hashes=64,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    want = {(d - 1, d) for d in range(1, 200, 10)}
+    assert got == want
