@@ -3314,6 +3314,169 @@ def _sql_stream_windowed() -> str:
     """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-pipeline source mixing):
+    per-source keep rates over a reproducible key hash — the keep set is a
+    pure function of (doc_id, salt), independent of partitioning and cluster
+    size, so resumed/retried jobs select identical rows. Map-only filter;
+    the oracle reproduces the two-round Lehmer hash digit-for-digit."""
+    from geo_epic_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    return stratified_sample(
+        docs, "doc_id", "source", rates, default_rate=0.1, salt=7
+    ).select("doc_id", "source", "n_chars")
+
+
+def _sql_stratified_sample() -> str:
+    return """
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             ((((doc_id % 1000003) + 7) * 2654435761) % 2147483647
+              * 48271) % 2147483647 AS hv
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM h
+    WHERE hv / 2147483647.0 < CASE source WHEN 'src0' THEN 1.0
+                                          WHEN 'src1' THEN 0.5
+                                          WHEN 'src2' THEN 0.25
+                                          ELSE 0.1 END
+    """
+
+
+def q_shard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding via the DISTRIBUTED prefix scan
+    (``method='ranged'``: repartitionByRange + per-partition mapInPandas
+    prefix sums + tiny broadcast offsets — the 100 TB layout path), after
+    scattering the input across 16 unordered partitions so the oracle (one
+    global running-sum window) proves the two-phase scan reconstructs the
+    exact global order."""
+    from geo_epic_spark.operators.sampling import shard_by_token_budget
+    from geo_epic_spark.operators.text import token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+        .repartition(16)
+    )
+    return shard_by_token_budget(
+        docs, "doc_id", "n_tokens", budget=2000, method="ranged"
+    ).select("doc_id", "n_tokens", "shard_id")
+
+
+def _sql_shard_tokens() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 2000) AS BIGINT) AS shard_id
+    FROM toks
+    """
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing per source (token-budget bins for training
+    batches): inherently sequential per group, one applyInPandas pass; the
+    oracle is a DuckDB recursive CTE walking the same order — every bin
+    boundary must agree exactly."""
+    from geo_epic_spark.operators.sampling import pack_greedy
+    from geo_epic_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_greedy(docs, "source", "doc_id", "n_tokens", budget=500).select(
+        "doc_id", "source", "n_tokens", "bin_id"
+    )
+
+
+def _sql_pack_greedy() -> str:
+    return """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_sum
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+             CASE WHEN p.bin_sum + t.n_tokens > 500 THEN p.bin_id + 1
+                  ELSE p.bin_id END,
+             CASE WHEN p.bin_sum + t.n_tokens > 500 THEN t.n_tokens
+                  ELSE p.bin_sum + t.n_tokens END
+      FROM toks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, bin_id FROM packed
+    """
+
+
+def q_vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocab builder: global top-20 word bigrams with deterministic
+    (count DESC, gram ASC) tie-break — map-only gram expansion, two-phase
+    hash aggregate, TakeOrdered top-k (no global sort materialization)."""
+    from geo_epic_spark.operators.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def _sql_vocab_bigrams() -> str:
+    return """
+    WITH ws AS (
+      SELECT list_filter(string_split(lower(regexp_replace(text,
+               '[^A-Za-z0-9]+', ' ', 'g')), ' '), w -> w <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT array_to_string(w[i:i+1], ' ') AS gram
+      FROM ws, unnest(CASE WHEN len(w) >= 2 THEN range(1, len(w)) ELSE [] END) AS t(i)
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20
+    """
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column (4x
+    vector shrink before ANN indexing) — map-only Column transforms, with
+    explicit floor(x+0.5) rounding so both engines produce identical ints;
+    output exploded to scalars for the value-hash compare."""
+    from geo_epic_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    )
+    return q.select(
+        "vec_id", F.posexplode("q").alias("pos0", "q_val"), "scale"
+    ).select(
+        "vec_id", (F.col("pos0") + 1).cast("int").alias("pos"), "q_val", "scale"
+    )
+
+
+def _sql_quantize_embeddings() -> str:
+    return """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 200
+    ), scaled AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM base
+    )
+    SELECT vec_id, CAST(pos AS INT) AS pos,
+           CAST(floor(v[pos] * (CASE WHEN amax > 0 THEN 127.0/amax ELSE 0.0 END)
+                + 0.5) AS INT) AS q_val,
+           CASE WHEN amax > 0 THEN amax/127.0 ELSE 0.0 END AS scale
+    FROM scaled, unnest(generate_series(1, len(v))) AS t(pos)
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3427,6 +3590,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_haversine": q_knn_haversine,         # J1 haversine metric path
         "q_cosine_topk_arrow": q_cosine_topk_arrow, # ANN Arrow/BLAS path
         "q_pruned_scan": q_pruned_scan,             # S3 column-pruned layer scan
+        # round-4 training-pipeline layout ops (new family extensions; the
+        # head 50 already carries every §2 family, so these ride the tail
+        # and are verified by the same harness in CORRECTNESS_LOCAL)
+        "q_stratified_sample": q_stratified_sample,  # reproducible source mixing
+        "q_shard_tokens": q_shard_tokens,            # distributed prefix-scan sharding
+        "q_pack_greedy": q_pack_greedy,              # next-fit sequence packing
+        "q_vocab_bigrams": q_vocab_bigrams,          # corpus vocab top-k
+        "q_quantize_embeddings": q_quantize_embeddings,  # int8 ANN quantization
     }
 
 
@@ -3505,4 +3676,9 @@ def oracle_sql() -> dict[str, str]:
         "q_required_columns": _SQL_REQUIRED_COLUMNS,
         "q_smooth_gaussian": _sql_smooth_gaussian(),
         "q_pruned_scan": _SQL_PRUNED_SCAN,
+        "q_stratified_sample": _sql_stratified_sample(),
+        "q_shard_tokens": _sql_shard_tokens(),
+        "q_pack_greedy": _sql_pack_greedy(),
+        "q_vocab_bigrams": _sql_vocab_bigrams(),
+        "q_quantize_embeddings": _sql_quantize_embeddings(),
     }

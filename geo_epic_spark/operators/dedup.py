@@ -285,23 +285,49 @@ def _arrow_per_doc_bands(
     fnv_off = np.int64(-3750763034362895579)  # 0xcbf29ce484222325
     fnv_prime = np.int64(1099511628211)
 
+    # whole-batch vectorization (r4): the first cut of this kernel looped
+    # per DOCUMENT — ~70 tiny numpy calls per doc (including a 64-step
+    # scalar FNV loop), i.e. row-at-a-time Python in disguise; the profile
+    # showed the signature stage at ~80% of the whole minhash job and
+    # Python-interpreter-bound. Now every batch does ONE flat pass: ids
+    # concatenated, permutations applied in cache-sized column chunks, and
+    # the per-doc minima taken with a segment-min (minimum.reduceat over the
+    # doc offsets). Same int64 arithmetic, same mod/overflow semantics —
+    # bit-identical minima and band hashes (parity vs the 'agg' path stays
+    # pinned in test_dedup_text).
+    _PERM_CHUNK = 16  # (n_ids x chunk) temp ~50 MB at the 10k-row batch default
+
     def sig_fn(batches):
         for pdf in batches:
-            band_col = []
-            for ids in pdf["__ids"]:
-                h = np.asarray(ids, dtype=np.int64) % _P
-                m = (h[:, None] * a_np[None, :] + b_np[None, :]) % _P
-                sig = m.min(axis=0)
-                bh = np.empty(bands, dtype=np.int64)
-                with np.errstate(over="ignore"):
-                    for bi in range(bands):
-                        acc = fnv_off
-                        for r in range(rows):
-                            acc = np.multiply(acc ^ sig[bi * rows + r], fnv_prime)
-                        bh[bi] = acc
-                band_col.append(bh)
+            ids_list = pdf["__ids"]
+            ndocs = len(ids_list)
+            if ndocs == 0:
+                yield pd.DataFrame({key: pdf[key], "__ids": ids_list,
+                                    "__bands": []})
+                continue
+            lens = np.fromiter((len(x) for x in ids_list), dtype=np.int64,
+                               count=ndocs)
+            # every doc has >= 1 shingle (the gram builder emits at least one
+            # gram, array_distinct keeps >= 1), which reduceat requires —
+            # zero-length segments would silently read the next doc's minima
+            if not lens.all():
+                raise ValueError("minhash: document with zero shingles")
+            flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in ids_list])
+            h = flat % _P
+            offsets = np.zeros(ndocs, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sig = np.empty((ndocs, num_hashes), dtype=np.int64)
+            for j0 in range(0, num_hashes, _PERM_CHUNK):
+                m = (h[:, None] * a_np[None, j0:j0 + _PERM_CHUNK]
+                     + b_np[None, j0:j0 + _PERM_CHUNK]) % _P
+                sig[:, j0:j0 + _PERM_CHUNK] = np.minimum.reduceat(m, offsets, axis=0)
+            bmat = sig.reshape(ndocs, bands, rows)
+            acc = np.full((ndocs, bands), fnv_off, dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for r in range(rows):
+                    acc = np.multiply(acc ^ bmat[:, :, r], fnv_prime)
             yield pd.DataFrame(
-                {key: pdf[key], "__ids": pdf["__ids"], "__bands": band_col}
+                {key: pdf[key], "__ids": ids_list, "__bands": list(acc)}
             )
 
     per_doc = d.mapInPandas(sig_fn, schema=out_schema).localCheckpoint(eager=False)

@@ -321,3 +321,30 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(q_key, key, "rank", "cosine")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec: str = "embedding",
+    out: str = "q",
+    scale_out: str = "scale",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    standard 4x shrink before shipping vectors into an ANN index (IVF lists,
+    LSH buckets): per-row scale = amax/127, q_i = round(v_i / scale) in
+    [-127, 127]; dequantize as q_i * scale.
+
+    Pure Column expressions over the array (transform/array_max — JVM-side,
+    map-only, zero shuffle). Rounding is floor(x + 0.5) written explicitly so
+    the DuckDB oracle reproduces each int exactly (no HALF_UP-vs-HALF_EVEN
+    dialect trap); math is double-precision from the float32 input, which
+    both engines widen losslessly. Zero vectors (amax = 0) quantize to all
+    zeros with scale 0.
+    """
+    v = F.transform(F.col(vec), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    factor = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.floor(x * factor + F.lit(0.5)).cast("int"))
+    return df.withColumn(out, q).withColumn(
+        scale_out, F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    )

@@ -232,3 +232,44 @@ def redact_pii(
         n_phone.cast("int").alias("n_phones"),
         n_ssn.cast("int").alias("n_ssns"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary builder: global top-``k`` word ``n``-grams by count
+    (the first step of building a tokenizer vocab / boilerplate blocklist
+    over a training corpus). Normalization: lowercase, strip non-alnum to
+    spaces, split on whitespace, drop empties — identical on the DuckDB
+    oracle side.
+
+    Shape: map-only gram expansion (transform/slice/array_join — pure
+    Column, codegen'd) -> explode -> two-phase hash aggregate on the gram
+    string -> top-k. At 10^12 docs the groupBy key is the gram text; partial
+    aggregation collapses per-partition duplicates map-side so the shuffle
+    carries ~|distinct grams| rows, and the final top-k is a TakeOrdered —
+    no global sort materialization. Deterministic tie-break: (count DESC,
+    gram ASC).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col(text), "[^A-Za-z0-9]+", " ")), " "),
+        lambda w: w != "",
+    )
+    grams = F.expr(
+        f"if(size(__ws) < {n}, array(),"
+        f" transform(sequence(1, size(__ws) - {n} + 1),"
+        f" i -> array_join(slice(__ws, i, {n}), ' ')))"
+    )
+    return (
+        df.select(words.alias("__ws"))
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(int(k))
+    )

@@ -579,3 +579,30 @@ def test_documents_synth_corpus(spark):
     got = {(r.id_a, r.id_b) for r in pairs}
     want = {(d - 1, d) for d in range(1, 200, 10)}
     assert got == want
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """int8 quantization: values in [-127,127], amax element hits +/-127
+    exactly, dequantized error <= scale/2, zero vectors -> zeros/scale 0."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from geo_epic_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.standard_normal(16).astype("float32") for _ in range(50)]
+    vecs.append(np.zeros(16, dtype="float32"))
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i, v in enumerate(vecs):
+        q = np.array(out[i]["q"])
+        scale = out[i]["scale"]
+        assert q.min() >= -127 and q.max() <= 127
+        if np.abs(v).max() == 0:
+            assert scale == 0.0 and (q == 0).all()
+            continue
+        assert np.abs(q).max() == 127  # the amax element saturates exactly
+        assert np.abs(q * scale - v.astype("float64")).max() <= scale / 2 + 1e-12

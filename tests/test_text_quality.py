@@ -225,3 +225,26 @@ def test_semantic_dedup_zero_norm_vectors_kept(spark):
         spark.createDataFrame(rows), cents=[[0.0, 0.0, 0.0, 0.0]], threshold=0.9
     ).collect()
     assert all(r["keep"] for r in out), out
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(0, "The cat sat. The cat ran!"), (1, "a cat, the CAT")],
+        ["doc_id", "text"],
+    )
+    from geo_epic_spark.operators.text import top_ngrams
+
+    uni = top_ngrams(docs, n=1, k=3).collect()
+    # counts: the=3, cat=4, sat=1, ran=1, a=1 -> top3 with (cnt desc, gram asc)
+    assert [(r["gram"], r["cnt"]) for r in uni] == [("cat", 4), ("the", 3), ("a", 1)]
+
+    bi = top_ngrams(docs, n=2, k=2).collect()
+    assert [(r["gram"], r["cnt"]) for r in bi] == [("the cat", 3), ("a cat", 1)]
+
+
+def test_top_ngrams_short_docs_empty_safe(spark):
+    docs = spark.createDataFrame([(0, "one"), (1, "  "), (2, "!!!")], ["doc_id", "text"])
+    from geo_epic_spark.operators.text import top_ngrams
+
+    assert top_ngrams(docs, n=2, k=5).count() == 0
+    assert [(r["gram"], r["cnt"]) for r in top_ngrams(docs, n=1, k=5).collect()] == [("one", 1)]
