@@ -74,8 +74,13 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(df.select(key, text), text, n).select(key, _shingle_id().alias("__h"))
     sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    # same-size self-join: pin a shuffled per-partition-build join — a small
+    # lineage size ESTIMATE (synthetic ranges, fresh UDF output) otherwise
+    # lets Catalyst broadcast the whole exploded shingle table, a serial
+    # driver-side hash build here and an OOM at corpus scale (see the
+    # minhash band join note in _verify_candidates)
     a = sh.alias("a")
-    b = sh.alias("b")
+    b = sh.hint("shuffle_hash").alias("b")
     shared = (
         a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col(f"a.{key}") < F.col(f"b.{key}")))
         .groupBy(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
@@ -342,7 +347,19 @@ def _verify_candidates(
     shingle sets — shared tail of both signature paths. O(candidates), never
     a full-corpus similarity join; hashed sets keep |set| exact up to 61-bit
     collisions (~2^-61/pair) and shuffle 8-byte longs, never shingle text."""
-    a, b = banded.alias("a"), banded.alias("b")
+    # SELF-join of the banded table: both sides are by construction the same
+    # size (bands x corpus), so a broadcast plan is categorically wrong — yet
+    # Catalyst picks one whenever the lineage's size ESTIMATE is small (e.g.
+    # a synthetic spark.range corpus estimates ~8 bytes/row, so a 19M-row
+    # banded frame "fits" the 64 MB threshold), and then every action stalls
+    # ~10 s while the driver single-threadedly builds a 19M-entry hash
+    # relation (found via jstack during the 4->16 scaling hunt: the stall was
+    # the serial term capping efficiency at 0.6). At 10^12 docs the same
+    # misestimate would be a driver OOM. SHUFFLE_HASH pins a shuffled join
+    # with a per-partition build (no sort needed — bucket hashes have no
+    # order), and AQE can still split skewed partitions.
+    a = banded.alias("a")
+    b = banded.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -440,7 +457,8 @@ def simhash_dup_pairs(
             )
         ).alias("b"),
     ).select(key, "simhash", "b.blk", "b.bval")
-    a, b = blocks.alias("a"), blocks.alias("b")
+    # same-size self-join: shuffled join pinned (see _verify_candidates note)
+    a, b = blocks.alias("a"), blocks.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -576,7 +594,8 @@ def embedding_near_dup_pairs(
         key, vec,
         F.posexplode(band_buckets(F.col(vec))).alias("band", "bucket"),
     )
-    l, r = b.alias("l"), b.alias("r")
+    # same-size self-join: shuffled join pinned (see _verify_candidates note)
+    l, r = b.alias("l"), b.hint("shuffle_hash").alias("r")
     cand = l.join(
         r,
         (F.col("l.band") == F.col("r.band"))
@@ -824,7 +843,11 @@ def semantic_dedup(
             F.transform(vec, lambda x: x * F.lit(0.0))
         ),
     )
-    a, b = ranked_n.alias("a"), ranked_n.alias("b")
+    # same-size self-join on the coarse cluster id: pin a sort-merge join —
+    # broadcast of the full normalized-vector table is the synthetic-lineage
+    # misestimate trap (see _verify_candidates), and SMJ keeps the dense-
+    # cluster skew AQE-splittable (the documented scale story for SemDeDup)
+    a, b = ranked_n.alias("a"), ranked_n.hint("merge").alias("b")
     dot = F.aggregate(
         F.zip_with("a.__v", "b.__v", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )

@@ -139,7 +139,15 @@ def shard_by_token_budget(
                          "use method='window' with a group")
 
     budget_i = int(budget)
-    ranged = df.repartitionByRange(F.col(order_key))
+    # sortWithinPartitions: a LOCAL sort (no exchange) so the partition's
+    # Arrow batches stream into local_scan already globally ordered — the
+    # scan then just carries a running total across batches. Sorting inside
+    # the pandas function instead would be wrong the moment one partition
+    # spans multiple Arrow batches (each batch would be sorted and prefix-
+    # summed in isolation — caught by the window≡ranged equivalence test
+    # when the batch default dropped to 2048), and Spark's sort spills while
+    # a whole-partition pandas sort would not.
+    ranged = df.repartitionByRange(F.col(order_key)).sortWithinPartitions(order_key)
     # pin the range partitioning: the offsets collect and the mapInPandas
     # scan are two separate actions over this frame, and the range bounds
     # come from a sampling pass — materialize once so both actions see the
@@ -175,12 +183,15 @@ def shard_by_token_budget(
     cols = [f.name for f in fields if f.name != "__pid"]
 
     def local_scan(pdfs):
+        run = None  # running token total, carried ACROSS this partition's batches
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(order_key, kind="mergesort")
-            base = boff.value[int(pdf["__pid"].iloc[0])]
-            csum = pdf[tokens].astype("int64").cumsum().shift(fill_value=0) + base
+            if run is None:
+                run = boff.value[int(pdf["__pid"].iloc[0])]
+            t = pdf[tokens].astype("int64")
+            csum = t.cumsum().shift(fill_value=0) + run
+            run += int(t.sum())
             res = pdf[cols].copy()
             res[out] = (csum // budget_i).astype("int64").to_numpy()
             yield res

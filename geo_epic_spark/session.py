@@ -21,9 +21,16 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
-    # Arrow for every pandas UDF / mapInPandas boundary.
+    # Arrow for every pandas UDF / mapInPandas boundary. Batch size 2048,
+    # not the 10000 default: the JVM producer and the Python worker of ONE
+    # task pipeline PER BATCH, so a task whose whole input fits a single
+    # batch runs its JVM column work and its Python kernel back-to-back
+    # serially — at 4*cpus partitions that is exactly the high-parallelism
+    # regime (smaller tasks -> one batch each). Measured on the minhash
+    # signature stage (300k docs, local[16]): 19.5-25 s at 10000 -> 13.4 s
+    # at 2000, reps tight; 1000 is past the sweet spot (per-batch overhead).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     # Broadcast dims aggressively; grids/polygon tables are usually << facts.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # Keep shuffle partition count moderate for local runs; AQE coalesces.

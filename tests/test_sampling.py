@@ -59,12 +59,21 @@ def test_stratified_rates(spark, docs):
 
 def test_shard_window_matches_ranged(spark, docs):
     """The two-phase ranged prefix scan is bit-identical to the single
-    window — on an input scattered across 16 unordered partitions."""
+    window — on an input scattered across 16 unordered partitions, AND with
+    Arrow batches forced far below the partition size so every partition
+    spans many batches (the running total must carry across the batch
+    iterator; a per-batch sort+cumsum silently corrupts shard ids — caught
+    live when the session batch default dropped 10000→2048)."""
     scattered = docs.repartition(16)
     w = shard_by_token_budget(scattered, "doc_id", "n_tokens", budget=10_000)
-    r = shard_by_token_budget(scattered, "doc_id", "n_tokens", budget=10_000, method="ranged")
-    assert w.select("doc_id", "shard_id").exceptAll(r.select("doc_id", "shard_id")).count() == 0
-    assert r.count() == w.count() == 5000
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+    try:
+        r = shard_by_token_budget(scattered, "doc_id", "n_tokens", budget=10_000, method="ranged")
+        assert w.select("doc_id", "shard_id").exceptAll(r.select("doc_id", "shard_id")).count() == 0
+        assert r.count() == w.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
 def test_shard_budget_semantics(spark):
@@ -124,3 +133,20 @@ def test_rate_validation(spark, docs):
         stratified_sample(docs, "doc_id", "source", {"0": -0.1})
     with pytest.raises(ValueError):
         shard_by_token_budget(docs, "doc_id", "n_tokens", 100, group="source", method="ranged")
+
+
+def test_sampling_plan_shapes(spark, docs):
+    """Scale pins: stratified sampling is a map-only filter (zero Exchange);
+    the ranged shard path's only Exchange is the range partitioning itself
+    (the offsets merge moves one tiny row per partition, driver-side)."""
+    from geo_epic_spark.plans.checks import formatted_plan, shuffle_free
+
+    samp = stratified_sample(docs, "doc_id", "source", {"0": 0.5}, default_rate=0.1)
+    assert shuffle_free(samp), formatted_plan(samp)
+
+    ranged = shard_by_token_budget(docs, "doc_id", "n_tokens", 10_000, method="ranged")
+    plan = formatted_plan(ranged)
+    import re
+
+    kinds = set(re.findall(r"Exchange (\w+)", plan))
+    assert kinds <= {"rangepartitioning"}, plan
