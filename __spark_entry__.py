@@ -3478,6 +3478,209 @@ def _sql_quantize_embeddings() -> str:
 
 
 # ---------------------------------------------------------------------------
+# federated scans (S6/S7/S8) — partitioned remote reads over injectable
+# transports; the synthetic transports are deterministic servers whose data
+# the oracle SQL reproduces exactly (see sources/federated.py docstring)
+# ---------------------------------------------------------------------------
+
+_SDA_SQL_TEMPLATE = """
+SELECT c.mukey, c.cokey, c.comppct_r, h.desgnvert, h.hzdepb_r,
+       h.wthirdbar_r, h.om_r, h.ksat_r
+FROM component c JOIN chorizon h ON c.cokey = h.cokey
+WHERE c.compname <> 'comp4' AND h.wthirdbar_r > 0
+  AND c.mukey >= {lo} AND c.mukey < {hi}
+"""
+
+_SDA_SCHEMA = ("mukey bigint, cokey bigint, comppct_r double, desgnvert int, "
+               "hzdepb_r double, wthirdbar_r double, om_r double, ksat_r double")
+
+
+def q_sda_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 REST/SQL federated scan (`geoEpic/soil/sda.py:8-46`), Spark-first:
+    the mukey key range is split into 8 JDBC-style shards, each executor
+    task POSTs its bounded WHERE-pushed query and parses the all-string
+    JSON+COLUMNNAME response (the reference's component⋈chorizon pull with
+    its `wthirdbar_r > 0` predicate, `soil/sda.py:147-163`). The synthetic
+    server runs DuckDB over the same fixture SQL the oracle uses, so the
+    pushdown, wire format and string→numeric cast path are all live."""
+    from geo_epic_spark.sources.federated import (
+        SyntheticSDATransport,
+        read_sda,
+    )
+
+    return read_sda(
+        spark,
+        _SDA_SQL_TEMPLATE,
+        schema=_SDA_SCHEMA,
+        partition_column="mukey",
+        lower=100000,
+        upper=100040,
+        num_partitions=8,
+        transport=SyntheticSDATransport(n_mukeys=40, comps_per=3,
+                                        layers_per=6),
+    )
+
+
+def _sql_sda_scan() -> str:
+    from geo_epic_spark.synth import soil_components_sql, soil_layers_sql
+
+    body = _SDA_SQL_TEMPLATE.format(lo=100000, hi=100040)
+    return f"""
+    WITH component AS ({soil_components_sql(40, 3)}),
+         chorizon AS ({soil_layers_sql(120, 6)})
+    {body}
+    """
+
+
+def q_opendap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 OPeNDAP array scan (`geoEpic/weather/gridmet.py:39-50`,
+    `weather/nldas_ws.py:65-74`), Spark-first: points snap to their nearest
+    grid cell with plain Column arithmetic (the `xr.sel(method='nearest')`
+    analog), then each (point × 50-day chunk × variable) slice request is
+    fetched executor-side — map-only fan-out, bounded requests, the shape a
+    1000-executor cluster should use against a THREDDS farm. Values round(2)
+    like the reference's `df.round(2)`."""
+    from geo_epic_spark.sources.federated import (
+        SyntheticOpendapTransport,
+        opendap_grid,
+        read_opendap,
+    )
+
+    grid = opendap_grid(lat0=25.0, lon0=-125.0, step=0.125,
+                        nlat=224, nlon=464, t0="1979-01-01")
+    e = _t(spark, sf_dir, "events").filter("event_id < 12")
+    pts = e.select(
+        F.col("event_id").alias("point_id"),
+        (F.lit(25.0) + F.pmod(F.col("event_id") * 83, F.lit(10000))
+         / F.lit(10000.0) * 27.9).alias("lat"),
+        (F.lit(-125.0) + F.pmod(F.col("event_id") * 59, F.lit(10000))
+         / F.lit(10000.0) * 57.9).alias("lon"),
+    )
+    return read_opendap(
+        spark, grid, pts, ["ws", "tmax"], start_day=365, n_days=120,
+        transport=SyntheticOpendapTransport(n_days_total=4096),
+        chunk_days=50,
+    )
+
+
+def _sql_opendap_scan() -> str:
+    from geo_epic_spark.sources.federated import opendap_value_sql
+
+    ws = opendap_value_sql("ws", "cell", "t", 4096)
+    tmax = opendap_value_sql("tmax", "cell", "t", 4096)
+    return f"""
+    WITH pts AS (
+      SELECT event_id AS point_id,
+             25.0 + (event_id * 83) % 10000 / 10000.0 * 27.9 AS lat,
+             -125.0 + (event_id * 59) % 10000 / 10000.0 * 57.9 AS lon
+      FROM events WHERE event_id < 12
+    ),
+    snapped AS (
+      SELECT point_id,
+             GREATEST(0, LEAST(223,
+               CAST(FLOOR((lat - 25.0) / 0.125 + 0.5) AS BIGINT))) AS lat_idx,
+             GREATEST(0, LEAST(463,
+               CAST(FLOOR((lon - -125.0) / 0.125 + 0.5) AS BIGINT))) AS lon_idx
+      FROM pts
+    ),
+    days AS (SELECT 365 + CAST(range AS BIGINT) AS t FROM range(120))
+    SELECT point_id, t AS day_idx,
+           round({ws}, 2) AS ws,
+           round({tmax}, 2) AS tmax
+    FROM (SELECT point_id, lat_idx * 464 + lon_idx AS cell FROM snapped)
+    CROSS JOIN days
+    """
+
+
+_GEE_COLLECTION = {
+    "id": "SYN/SR_DAILY",
+    "cadence": 2,
+    "bands": ["red", "nir"],
+    # image.expression analogs (`gee/core.py:50-61`): one derived index,
+    # one raw band passthrough
+    "variables": {
+        "ndvi": "(nir - red) / (nir + red + 1.0)",
+        "nir_raw": "nir",
+    },
+}
+
+_GEE_AOI = {"lon_lo": -99.1, "lon_hi": -98.6, "lat_lo": 40.4, "lat_hi": 40.8}
+
+
+def q_gee_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 GEE collection scan (`geoEpic/gee/core.py:18-48,122-155`),
+    Spark-first: the filterDate window splits into day-chunks (one shard
+    per chunk), each executor task ships the whole server-side program —
+    filterBounds + filterDate + band expressions + per-image
+    reduceRegion(mode) — and receives only the reduced (day, var...)
+    features. The synthetic server evaluates the same formulas over a
+    deterministic pixel lattice; the oracle reproduces pixel values,
+    formulas and the mode reduction (ties → smallest) in SQL."""
+    from geo_epic_spark.sources.federated import (
+        SyntheticGEETransport,
+        read_gee_collection,
+    )
+
+    return read_gee_collection(
+        spark, _GEE_COLLECTION, _GEE_AOI, date_lo=100, date_hi=196,
+        transport=SyntheticGEETransport(), chunk_days=16,
+    )
+
+
+def _sql_gee_scan() -> str:
+    # pixel-lattice constants from SyntheticGEETransport: lat0=40, lon0=-100,
+    # step=0.05, 200 px per lattice row; bbox covers pixels whose CENTER lies
+    # inside (ceil/floor of (bound-origin)/step - 0.5)
+    return """
+    WITH days AS (
+      SELECT 100 + CAST(range AS BIGINT) AS day FROM range(96)
+      WHERE (100 + range) % 2 = 0
+    ),
+    pxs AS (
+      SELECT CAST(range AS BIGINT)
+             + CAST(CEIL((-99.1 - -100.0) / 0.05 - 0.5) AS BIGINT) AS px
+      FROM range(CAST(FLOOR((-98.6 - -100.0) / 0.05 - 0.5) AS BIGINT)
+                 - CAST(CEIL((-99.1 - -100.0) / 0.05 - 0.5) AS BIGINT) + 1)
+    ),
+    pys AS (
+      SELECT CAST(range AS BIGINT)
+             + CAST(CEIL((40.4 - 40.0) / 0.05 - 0.5) AS BIGINT) AS py
+      FROM range(CAST(FLOOR((40.8 - 40.0) / 0.05 - 0.5) AS BIGINT)
+                 - CAST(CEIL((40.4 - 40.0) / 0.05 - 0.5) AS BIGINT) + 1)
+    ),
+    pix AS (SELECT py * 200 + px AS pid FROM pys CROSS JOIN pxs),
+    bands AS (
+      SELECT day, pid,
+             ((pid * 2654435761 + day * 40503 + 0 * 977) % 9) * 0.25 AS red,
+             ((pid * 2654435761 + day * 40503 + 1 * 977) % 9) * 0.25 AS nir
+      FROM days CROSS JOIN pix
+    ),
+    vars AS (
+      SELECT day, (nir - red) / (nir + red + 1.0) AS ndvi, nir AS nir_raw
+      FROM bands
+    ),
+    mode_ndvi AS (
+      SELECT day, ndvi FROM (
+        SELECT day, ndvi,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY count(*) DESC, ndvi ASC) AS rn
+        FROM vars GROUP BY day, ndvi
+      ) WHERE rn = 1
+    ),
+    mode_nir AS (
+      SELECT day, nir_raw FROM (
+        SELECT day, nir_raw,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY count(*) DESC, nir_raw ASC) AS rn
+        FROM vars GROUP BY day, nir_raw
+      ) WHERE rn = 1
+    )
+    SELECT a.day AS day, a.ndvi AS ndvi, b.nir_raw AS nir_raw
+    FROM mode_ndvi a JOIN mode_nir b ON a.day = b.day
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3506,24 +3709,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verified inside q_curation's lang-filter and quality-floor stages, with
     a full SQL mirror), and q_winnow_fingerprints (text family held by
     q_token_stats/q_repetition). Every demoted query keeps its oracle and
-    stays green in CORRECTNESS_LOCAL (same harness, all entries)."""
+    stays green in CORRECTNESS_LOCAL (same harness, all entries).
+
+    Second round-4 reorder: the S6/S7/S8 federated scans — until now the
+    ONLY §2 cells with no correctness row at all (excluded as
+    network-dependent; now implemented as partitioned federated reads over
+    injectable transports, sources/federated.py) — take three head slots.
+    Demoted to make room, each a second row of a family whose primary row
+    stays in the head: q_salted_pip (J5 held by q_tile_assign; the skew
+    evidence also lives in test_plans + PLANS.md), q_bucketed_join (J4 held
+    by q_soil_projection; the zero-Exchange plan assertion still runs in
+    pytest), q_harmonic_fit (W8 held by q_double_logistic)."""
     return {
         # spatial flagship path (J1/J2/J3/J5/J6, S4, S10)
         "q_tile_assign": q_tile_assign,
         "q_nearest_grid": q_nearest_grid,
         "q_zonal_stats": q_zonal_stats,
         "q_rasterize": q_rasterize,
-        "q_salted_pip": q_salted_pip,    # skew-salted join (north rule)
         # media payloads (§2.10a/d + audio/video)
         "q_audio_features": q_audio_features,
         "q_video_frames": q_video_frames,
         "q_image_invariants": q_image_invariants,
         "q_phash_dedup": q_phash_dedup,
-        # sources / resume / layout / CRS / streaming-exec
+        # sources / resume / layout / CRS / federated / streaming-exec
         "q_fwf_roundtrip": q_fwf_roundtrip,
         "q_crs_project": q_crs_project,
         "q_resume_metrics": q_resume_metrics,   # S9+P3+A8: run_with_resume end-to-end
-        "q_bucketed_join": q_bucketed_join,
+        "q_sda_scan": q_sda_scan,               # S6 partitioned REST/SQL scan (new r4)
+        "q_opendap_scan": q_opendap_scan,       # S7 partitioned array scan (new r4)
+        "q_gee_scan": q_gee_scan,               # S8 collection scan (new r4)
         "q_stream_windowed": q_stream_windowed,
         "q_stateful_dedup": q_stateful_dedup,   # applyInPandasWithState path
         # weather time-series (A1/W1/W2, J9, J10, J8, W4/P7)
@@ -3559,7 +3773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_smooth_gaussian": q_smooth_gaussian,  # W6 method 2 (new r4)
         "q_count_seasons": q_count_seasons,
         "q_double_logistic": q_double_logistic,
-        "q_harmonic_fit": q_harmonic_fit,        # W8 fit 2
         "q_opc_validate": q_opc_validate,        # W5 monotonic/coverage validator
         "q_required_columns": q_required_columns,  # P2 (new r4)
         "q_registry_hook": q_registry_hook,      # §2.9 extension point
@@ -3567,6 +3780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_envelope_clip": q_envelope_clip,
         "q_opc_append": q_opc_append,
         # --- tail: family already represented above (safe under any cap) ---
+        "q_salted_pip": q_salted_pip,               # J5 skew variant: q_tile_assign
+        "q_bucketed_join": q_bucketed_join,         # J4 bucketed: q_soil_projection
+        "q_harmonic_fit": q_harmonic_fit,           # W8 fit 2: q_double_logistic
         "q_knn_k3": q_knn_k3,                       # J1: q_nearest_grid (same op, k=3)
         "q_bbox_clip": q_bbox_clip,                 # P6: q_tile_assign
         "q_asym_gaussian": q_asym_gaussian,         # W8: q_double_logistic
@@ -3681,4 +3897,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pack_greedy": _sql_pack_greedy(),
         "q_vocab_bigrams": _sql_vocab_bigrams(),
         "q_quantize_embeddings": _sql_quantize_embeddings(),
+        "q_sda_scan": _sql_sda_scan(),
+        "q_opendap_scan": _sql_opendap_scan(),
+        "q_gee_scan": _sql_gee_scan(),
     }
