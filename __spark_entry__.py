@@ -3477,6 +3477,108 @@ def _sql_quantize_embeddings() -> str:
     """
 
 
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs (hamming <= 4) via pigeonhole
+    banding (`hamming_near_dup_pairs`): 5 bit-bands, banded equi-join,
+    popcount verify — the web-scale image-dedup generalization of
+    q_phash_dedup's exact grouping. The hashes here are SQL-computable
+    synthetic 64-bit values with planted 1-2-bit-flipped copies, so the
+    oracle is the BRUTE-FORCE all-pairs hamming join — a hash match proves
+    the banding loses no pair (recall exactly 1.0). Integration with real
+    payload phashes is pinned in tests/test_dedup_text.py."""
+    from geo_epic_spark.operators.dedup import hamming_near_dup_pairs
+
+    e = _t(spark, sf_dir, "events").select("event_id").filter("event_id < 300")
+    i = F.col("event_id")
+    h = (
+        F.pmod(i * F.lit(2654435761) + F.lit(17), F.lit(2147483648))
+        * F.lit(4294967296)
+        + F.pmod(i * F.lit(2246822519) + F.lit(101), F.lit(4294967296))
+    )
+    base = e.select(i.alias("img_id"), h.alias("phash"))
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pmod(event_id * 7, 63) AS INT))"
+        " | shiftleft(CAST(1 AS BIGINT), CAST(pmod(event_id * 13, 63) AS INT))"
+    )
+    copies = e.filter("event_id < 60").select(
+        (i + F.lit(300)).alias("img_id"), h.bitwiseXOR(mask).alias("phash")
+    )
+    pairs = hamming_near_dup_pairs(
+        base.unionAll(copies), key="img_id", hash_col="phash", max_hamming=4
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _sql_phash_near_dup() -> str:
+    return """
+    WITH base AS (
+      SELECT event_id AS img_id,
+             (event_id * 2654435761 + 17) % 2147483648 * 4294967296
+             + (event_id * 2246822519 + 101) % 4294967296 AS phash,
+             event_id AS i
+      FROM events WHERE event_id < 300
+    ),
+    copies AS (
+      SELECT i + 300 AS img_id,
+             xor(phash, (CAST(1 AS BIGINT) << CAST((i * 7) % 63 AS INT))
+                      | (CAST(1 AS BIGINT) << CAST((i * 13) % 63 AS INT)))
+               AS phash
+      FROM base WHERE i < 60
+    ),
+    allh AS (
+      SELECT img_id, phash FROM base
+      UNION ALL SELECT img_id, phash FROM copies
+    )
+    SELECT a.img_id AS id_a, b.img_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM allh a JOIN allh b ON a.img_id < b.img_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 4
+    """
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (`contamination_report`): flag corpus docs
+    sharing word n-grams with an eval set (n=5 here so the synthetic corpus
+    has hits; production default is the GPT-3 13-gram rule). The benchmark
+    side broadcasts (eval sets are tiny next to the corpus) — map-side
+    semi-join, the corpus never shuffles for the membership test."""
+    from geo_epic_spark.operators.text import contamination_report
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    bench = d.filter("doc_id % 7 = 3").select("text")
+    return contamination_report(d, bench, n=5).select(
+        "doc_id", "n_grams", "n_contaminated", "contaminated"
+    )
+
+
+def _sql_decontaminate() -> str:
+    return """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS w
+      FROM documents WHERE doc_id < 400
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([
+        array_to_string(w[i:i+4], ' ')
+        FOR i IN range(1, greatest(len(w) - 4, 1) + 1)
+      ])) AS shingle
+      FROM words
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 3),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY 1),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_contaminated
+      FROM sh s JOIN bench b USING (shingle) GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_grams,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           CAST(coalesce(h.n_contaminated, 0) > 0 AS INTEGER) AS contaminated
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # federated scans (S6/S7/S8) — partitioned remote reads over injectable
 # transports; the synthetic transports are deterministic servers whose data
@@ -3814,6 +3916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_greedy": q_pack_greedy,              # next-fit sequence packing
         "q_vocab_bigrams": q_vocab_bigrams,          # corpus vocab top-k
         "q_quantize_embeddings": q_quantize_embeddings,  # int8 ANN quantization
+        "q_phash_near_dup": q_phash_near_dup,        # banded hamming image dedup
+        "q_decontaminate": q_decontaminate,          # benchmark n-gram overlap
     }
 
 
@@ -3900,4 +4004,6 @@ def oracle_sql() -> dict[str, str]:
         "q_sda_scan": _sql_sda_scan(),
         "q_opendap_scan": _sql_opendap_scan(),
         "q_gee_scan": _sql_gee_scan(),
+        "q_phash_near_dup": _sql_phash_near_dup(),
+        "q_decontaminate": _sql_decontaminate(),
     }

@@ -273,3 +273,53 @@ def top_ngrams(
         .orderBy(F.desc("cnt"), F.asc("gram"))
         .limit(int(k))
     )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text: str = "text",
+    key: str = "doc_id",
+    bench_text: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of word ``n``-grams
+    that also appear in an evaluation set — the standard training-corpus
+    hygiene pass (n=13 following GPT-3/PaLM's 13-gram overlap rule; public
+    methodology, Brown et al. 2020 §C).
+
+    Output: ``(key, n_grams, n_contaminated, contaminated)`` for EVERY input
+    doc — zero-hit docs included (left join + fill), because the consumer
+    filters on the flag and must see clean docs.
+
+    Scale shape: the benchmark gram set is small by construction (eval sets
+    are ~10^5-10^7 grams even when the corpus is 10^12 docs), so it
+    BROADCASTS: the corpus side explodes to grams map-side, semi-joins
+    against the broadcast hash set with no corpus shuffle, and the only
+    exchange is the per-doc count aggregation (partial map-side combine on
+    the doc key). Gram identity is the 64-bit xxhash of the shingle string
+    (8-byte broadcast entries; ~2^-64 false-hit rate per gram pair).
+    """
+    from geo_epic_spark.operators.dedup import shingles
+
+    bench_grams = (
+        shingles(benchmark.select(bench_text), bench_text, n)
+        .select(F.xxhash64("shingle").alias("__g"))
+        .distinct()
+    )
+    doc_grams = shingles(docs.select(key, text), text, n).select(
+        key, F.xxhash64("shingle").alias("__g")
+    )
+    totals = doc_grams.groupBy(key).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__g", "left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, key, "left")
+        .na.fill(0, ["n_contaminated"])
+        .withColumn(
+            "contaminated", (F.col("n_contaminated") > 0).cast("int")
+        )
+    )

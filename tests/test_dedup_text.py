@@ -606,3 +606,84 @@ def test_quantize_embeddings_roundtrip(spark):
             continue
         assert np.abs(q).max() == 127  # the amax element saturates exactly
         assert np.abs(q * scale - v.astype("float64")).max() <= scale / 2 + 1e-12
+
+
+def test_hamming_near_dup_matches_bruteforce_with_negative_hashes(spark):
+    """Banded hamming join == brute force on random SIGNED 64-bit hashes
+    (real phash64 values set the sign bit) with planted <=d flips."""
+    from geo_epic_spark.operators.dedup import hamming_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(2**63), 2**63, size=80, dtype=np.int64)
+    rows = [(i, int(h)) for i, h in enumerate(base)]
+    d = 6
+    for j in range(20):  # planted copies with 1..d bit flips
+        mask = 0
+        for p in rng.integers(0, 64, size=rng.integers(1, d + 1)):
+            mask |= 1 << int(p)
+        u = (int(base[j]) & (2**64 - 1)) ^ mask  # two's-complement xor
+        rows.append((100 + j, u - 2**64 if u >= 2**63 else u))
+    df = spark.createDataFrame(rows, "img_id bigint, h bigint")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_dup_pairs(
+            df, key="img_id", hash_col="h", max_hamming=d
+        ).collect()
+    }
+    want = set()
+    for ia, ha in rows:
+        for ib, hb in rows:
+            if ia < ib:
+                ham = int(bin((ha ^ hb) & (2**64 - 1)).count("1"))
+                if ham <= d:
+                    want.add((ia, ib, ham))
+    assert got == want and len(want) >= 20
+
+
+def test_hamming_near_dup_on_real_phashes(spark):
+    """Integration with payload-derived phashes: byte-identical planted
+    copies (q_phash_dedup corpus) appear at hamming 0."""
+    from geo_epic_spark.images.udfs import full_images_df
+    from geo_epic_spark.operators.dedup import hamming_near_dup_pairs
+
+    df = full_images_df(spark, 180, seed_mod=90)
+    pairs = hamming_near_dup_pairs(
+        df, key="image_id", hash_col="phash", max_hamming=2
+    ).collect()
+    zero = {(r.id_a, r.id_b) for r in pairs if r.hamming == 0}
+    want = {(f"img{i:012d}", f"img{i + 90:012d}") for i in range(90)}
+    assert want <= zero
+
+
+def test_hamming_near_dup_rejects_bad_distance(spark):
+    from geo_epic_spark.operators.dedup import hamming_near_dup_pairs
+
+    df = spark.createDataFrame([(1, 2)], "img_id bigint, h bigint")
+    with pytest.raises(ValueError, match="max_hamming"):
+        hamming_near_dup_pairs(df, key="img_id", hash_col="h", max_hamming=64)
+
+
+def test_contamination_report_counts_and_broadcast(spark):
+    from geo_epic_spark.operators.text import contamination_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "quick brown fox jumps far away from here today"),
+            (2, "completely unrelated content with no overlap at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over a fence",)], "text string"
+    )
+    out = contamination_report(docs, bench, n=3)
+    got = {r.doc_id: (r.n_grams, r.n_contaminated, r.contaminated)
+           for r in out.collect()}
+    # doc 0 shares 'the quick brown','quick brown fox','brown fox jumps',
+    # 'fox jumps over'
+    assert got[0] == (7, 4, 1)
+    assert got[1] == (7, 2, 1)   # 'quick brown fox','brown fox jumps'
+    assert got[2] == (6, 0, 0)   # zero-hit doc retained
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bench gram set broadcasts
