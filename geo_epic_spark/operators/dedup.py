@@ -480,72 +480,124 @@ def simhash_dup_pairs(
     )
 
 
+def _hamming_block_config(
+    n_rows: int, max_hamming: int, nbits: int = 64, max_tables: int = 256
+) -> int:
+    """Cost-modeled block count for :func:`hamming_near_dup_pairs`.
+
+    With ``m`` blocks and keys of ``m - d`` concatenated blocks there are
+    C(m, d) key tables; the estimated work is
+    ``replication = n * C(m, d)`` exploded rows plus
+    ``candidates ~= C(m, d) * n^2 / 2^key_bits`` bucket collisions. Minimal
+    ``m = d + 1`` maximizes neither: its 1-block keys carry only
+    ``nbits/(d+1)`` bits, and on uniform hashes the quadratic collision term
+    dominates catastrophically past ~10^5 rows (measured: 2M rows at d=4
+    with 12-bit keys -> ~2.4e9 false candidates). This chooser scores both
+    terms — the same lesson as ``planes_bands_for_threshold``'s cost model
+    (r3 ADVICE: never optimize selectivity or replication alone). The
+    block-combination scheme is Manku/Jain/Das Sarma's public simhash
+    dedup construction (WWW'07 §3) re-expressed as a Spark equi-join.
+    """
+    from math import comb
+
+    best_m, best_cost = max_hamming + 1, float("inf")
+    for m in range(max_hamming + 1, min(nbits, 4 * (max_hamming + 1)) + 1):
+        tables = comb(m, max_hamming)
+        if tables > max_tables:
+            continue
+        key_bits = min((m - max_hamming) * (nbits // m), 62)
+        cand = tables * (float(n_rows) * n_rows / 2.0) / float(2 ** key_bits)
+        cost = float(n_rows) * tables + cand
+        if cost < best_cost:
+            best_m, best_cost = m, cost
+    return best_m
+
+
 def hamming_near_dup_pairs(
     df: DataFrame,
     key: str = "image_id",
     hash_col: str = "phash",
     max_hamming: int = 4,
     nbits: int = 64,
+    n_blocks: int | None = None,
+    expected_n: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs over a PRECOMPUTED fixed-width hash column —
     the perceptual-hash (phash) near-dup join for web-scale image dedup,
     generalizing the reference's exact phash grouping (§2.10d,
     `q_phash_dedup`) to hamming distance <= ``max_hamming``.
 
-    Completeness by pigeonhole: the hash splits into ``max_hamming + 1``
-    contiguous bit bands, so any pair within distance ``max_hamming`` agrees
-    EXACTLY on at least one band (d flipped bits cannot touch d+1 bands) —
-    recall is 1.0 with no probabilistic miss, unlike minhash banding. The
-    candidate join is a banded equi-join on (band, band_value) — a
-    fixed-width 12-byte shuffle key, never all-pairs — followed by a
-    popcount verify ``bit_count(xor) <= d`` (JVM codegen, no UDF). Unlike
-    ``simhash_dup_pairs``'s fixed 4x16-bit blocks (complete only to d=3),
-    the band count adapts to the requested distance.
+    Completeness by pigeonhole: the hash splits into ``m`` contiguous bit
+    blocks (``m > d``); d flipped bits touch at most d blocks, so at least
+    ``m - d`` blocks agree exactly — every pair within distance d shares at
+    least one of the C(m, d) possible ``(m-d)``-block combination keys.
+    Recall is exactly 1.0 with no probabilistic miss, unlike minhash
+    banding, for ANY valid m — m only tunes cost. The candidate join is an
+    equi-join on an 8-byte combination key (xxhash64 of combo id + the
+    selected block values; hash collisions only ADD candidates, which the
+    verify removes), followed by a popcount verify ``bit_count(xor) <= d``
+    — JVM codegen end to end, no UDF. Unlike ``simhash_dup_pairs``'s fixed
+    4x16-bit blocks (complete only to d=3), both the distance and the cost
+    model are parameters here.
 
-    At 10^9 images: band values carry 64/(d+1) bits, so buckets hold
-    ~n / 2^(64/(d+1)) images; for d=4 (12-bit bands) expect ~n/4096 per
-    bucket — AQE splits the hottest (uniform-region images collide) and the
-    verify drops false candidates at ~1 cmp/pair.
+    ``n_blocks`` defaults to the cost-modeled choice for the corpus size
+    (``expected_n`` if given, else one count() job): minimal m = d+1 gives
+    d+1 tables of narrow keys (quadratic collisions dominate at scale);
+    larger m gives C(m, d) tables of wide keys (replication dominates).
+    At 10^9 images / d=4 the chooser lands near m=8: 70 tables x 32-bit
+    keys -> ~70 rows replicated per image, ~8e9 candidate collisions —
+    versus 1.2e15 collisions at m=5. Hot buckets (flat images hash alike)
+    are the AQE skew-split case.
     """
     if not 0 <= max_hamming < nbits:
         raise ValueError(f"need 0 <= max_hamming < nbits, got {max_hamming}")
-    n_bands = max_hamming + 1
-    bands = []
+    if n_blocks is None:
+        n = expected_n if expected_n is not None else df.count()
+        n_blocks = _hamming_block_config(n, max_hamming, nbits)
+    if not max_hamming < n_blocks <= nbits:
+        raise ValueError(
+            f"need max_hamming < n_blocks <= nbits, got n_blocks={n_blocks}"
+        )
+    from itertools import combinations
+
+    m = n_blocks
+    blocks = []
     off = 0
-    for i in range(n_bands):
-        w = nbits // n_bands + (1 if i < nbits % n_bands else 0)
-        bands.append((off, w))
+    for i in range(m):
+        w = nbits // m + (1 if i < nbits % m else 0)
+        blocks.append((off, w))
         off += w
     h = F.col(hash_col)
-    vals = F.array(*[
+    block_vals = [
         F.shiftrightunsigned(h, off).bitwiseAND(F.lit((1 << w) - 1))
-        for off, w in bands
+        for off, w in blocks
+    ]
+    keys = F.array(*[
+        F.xxhash64(F.lit(ci), *[block_vals[j] for j in combo])
+        for ci, combo in enumerate(combinations(range(m), m - max_hamming))
     ])
-    ex = df.select(
-        F.col(key), h.alias("__h"), F.posexplode(vals).alias("band", "bval")
-    )
+    ex = df.select(F.col(key), h.alias("__h"), F.explode(keys).alias("bkey"))
     # same-size self-join: shuffled join pinned (see _verify_candidates note)
     a, b = ex.alias("a"), ex.hint("shuffle_hash").alias("b")
-    cand = (
+    ham = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    # verify BEFORE distinct: the popcount filter runs inside the join's
+    # output stream (codegen, no extra exchange) and discards the false
+    # candidates — the distinct then shuffles only ~true-pairs x tables
+    # rows, not the full candidate volume (measured 528M candidates -> 157s
+    # distinct at 2M uniform hashes when ordered the other way)
+    return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
+            (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col(f"a.{key}") < F.col(f"b.{key}")),
         )
         .select(
             F.col(f"a.{key}").alias("id_a"),
             F.col(f"b.{key}").alias("id_b"),
-            F.col("a.__h").alias("h_a"),
-            F.col("b.__h").alias("h_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
-        cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

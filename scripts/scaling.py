@@ -28,12 +28,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_IMG = int(os.environ.get("SCALING_N_IMG", "24000000"))
 N_POLY = int(os.environ.get("SCALING_N_POLY", "2000"))
 REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
-# SCALING_OP=pip (default, the flagship tile-assignment join) or minhash
+# SCALING_OP=pip (default, the flagship tile-assignment join), minhash
 # (the dedup family: minhash+LSH near-dup pairs over a synthetic corpus
 # with planted neighbors — second-operator evidence that the scaling
-# property is engine-wide, not one kernel's)
+# property is engine-wide, not one kernel's), or hamming (the image-axis
+# dedup: banded hamming near-dup over synthetic 64-bit phashes with
+# planted bit-flip twins — pure shuffle-join kernel, no Python stage)
 OP = os.environ.get("SCALING_OP", "pip")
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "300000"))
+N_HASH = int(os.environ.get("SCALING_N_HASH", "8000000"))
 # N and 4N parallelism levels. Default 4->16: with 32 physical cores the
 # 8->32 pair saturates the socket's memory bandwidth probing the shared
 # broadcast hash table (a single-box artifact a multi-executor cluster does
@@ -64,6 +67,34 @@ def measure(cpus: int) -> dict:
 
         def job():
             return minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64).count()
+    elif OP == "hamming":
+        from pyspark.sql import functions as F
+
+        from geo_epic_spark.operators.dedup import hamming_near_dup_pairs
+
+        i = F.col("id")
+        # xxhash64 mixing, not linear-congruential bits: LCG-derived hashes
+        # are adversarially degenerate for block banding (low bits of every
+        # block encode i mod 2^k, so cross-block combos share entropy and
+        # candidates blow up 33x) — real phashes behave like the mixed case
+        h = F.xxhash64(i)
+        base = spark.range(N_HASH).select(i.alias("img_id"), h.alias("phash"))
+        mask = F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(id * 7, 63) AS INT))"
+            " | shiftleft(CAST(1 AS BIGINT), CAST(pmod(id * 13, 63) AS INT))"
+        )
+        copies = (
+            spark.range(N_HASH).filter("id % 20 = 0")
+            .select((i + F.lit(N_HASH)).alias("img_id"),
+                    h.bitwiseXOR(mask).alias("phash"))
+        )
+        hashes = base.unionAll(copies)
+
+        def job():
+            return hamming_near_dup_pairs(
+                hashes, key="img_id", hash_col="phash", max_hamming=4,
+                expected_n=N_HASH + N_HASH // 20,
+            ).count()
     else:
         imgs = synth.images_meta_df(spark, N_IMG).select("i", "cx", "cy")
         flds = synth.fields_df(spark, N_POLY).select("poly_id", "xs", "ys")
@@ -109,13 +140,14 @@ def main() -> None:
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
         res[cpus] = json.loads(line[len("RESULT "):])
-    n_rows = N_DOCS if OP == "minhash" else N_IMG
+    n_rows = {"minhash": N_DOCS, "hamming": N_HASH}.get(OP, N_IMG)
     thr_lo = n_rows / res[lo]["sec"]
     thr_hi = n_rows / res[hi]["sec"]
     eff = thr_hi / ((hi / lo) * thr_lo)
     print(json.dumps({
-        "job": ("minhash_lsh_pairs (dedup)" if OP == "minhash"
-                else "tile_assign (PIP join)"),
+        "job": {"minhash": "minhash_lsh_pairs (dedup)",
+                "hamming": "hamming_near_dup_pairs (image dedup)"}.get(
+                    OP, "tile_assign (PIP join)"),
         "n_images": n_rows,
         "n_polys": N_POLY,
         "result_rows": res[hi]["result_rows"],

@@ -28,10 +28,14 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
     sleep 40
   done
   echo "[$(date +%T)] attempt $attempt: quiet window (load $l1 -> $l2), launching" >> "$LOG"
-  out=$(SCALING_CPUS=8,32 SCALING_REPEATS=3 timeout 1500 python scripts/scaling.py 2>>"$LOG" | tail -1)
+  # pair + op + sizes come from the SCALING_* env (scaling.py defaults
+  # otherwise); default pair stays the saturated 8->32
+  CPUS=${SCALING_CPUS:-8,32}
+  out=$(SCALING_CPUS="$CPUS" SCALING_REPEATS=${SCALING_REPEATS:-3} \
+        timeout 1500 python scripts/scaling.py 2>>"$LOG" | tail -1)
   echo "$out" >> "$LOG"
-  eff=$(printf '%s' "$out" | python3 -c 'import json,sys
-try: print(json.load(sys.stdin)["scaling_efficiency_8_to_32"])
+  eff=$(printf '%s' "$out" | KEY="scaling_efficiency_${CPUS/,/_to_}" python3 -c 'import json,os,sys
+try: print(json.load(sys.stdin)[os.environ["KEY"]])
 except Exception: print(0)')
   if awk -v e="$eff" 'BEGIN{exit !(e>=0.8)}'; then
     echo "[$(date +%T)] CLEARED 0.8: eff=$eff" >> "$LOG"

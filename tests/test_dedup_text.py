@@ -687,3 +687,35 @@ def test_contamination_report_counts_and_broadcast(spark):
     assert got[2] == (6, 0, 0)   # zero-hit doc retained
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # bench gram set broadcasts
+
+
+def test_hamming_block_chooser_scales_with_n():
+    """m = d+1's narrow keys collapse quadratically on big uniform corpora
+    (measured: 2M rows -> ~2.4e9 false candidates); the cost model must
+    widen keys as n grows, and every m stays pigeonhole-complete."""
+    from geo_epic_spark.operators.dedup import _hamming_block_config
+
+    ms = [_hamming_block_config(n, 4) for n in (100, 2_000_000, 10**9)]
+    assert ms[0] == 5 and ms == sorted(ms) and ms[-1] >= 8
+
+
+def test_hamming_near_dup_invariant_to_block_count(spark):
+    """Recall is exactly 1.0 for ANY m > d: forced wide-key configs return
+    the identical verified pair set."""
+    from geo_epic_spark.operators.dedup import hamming_near_dup_pairs
+
+    rng = np.random.default_rng(13)
+    rows = [(i, int(h)) for i, h in
+            enumerate(rng.integers(-(2**63), 2**63, size=60, dtype=np.int64))]
+    for j in range(12):
+        u = (int(rows[j][1]) & (2**64 - 1)) ^ (1 << (5 * j)) ^ (1 << (5 * j + 2))
+        rows.append((100 + j, u - 2**64 if u >= 2**63 else u))
+    df = spark.createDataFrame(rows, "img_id bigint, h bigint")
+    results = [
+        {tuple(r) for r in hamming_near_dup_pairs(
+            df, key="img_id", hash_col="h", max_hamming=3, n_blocks=m
+        ).collect()}
+        for m in (4, 6, 9)
+    ]
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) >= 12
