@@ -487,19 +487,25 @@ def _hamming_block_config(
 
     With ``m`` blocks and keys of ``m - d`` concatenated blocks there are
     C(m, d) key tables; the estimated work is
-    ``replication = n * C(m, d)`` exploded rows plus
-    ``candidates ~= C(m, d) * n^2 / 2^key_bits`` bucket collisions. Minimal
-    ``m = d + 1`` maximizes neither: its 1-block keys carry only
-    ``nbits/(d+1)`` bits, and on uniform hashes the quadratic collision term
-    dominates catastrophically past ~10^5 rows (measured: 2M rows at d=4
-    with 12-bit keys -> ~2.4e9 false candidates). This chooser scores both
-    terms — the same lesson as ``planes_bands_for_threshold``'s cost model
-    (r3 ADVICE: never optimize selectivity or replication alone). The
+    ``replication = n * C(m, d)`` exploded rows (key-gen hashing + shuffle
+    write/read — the expensive unit) plus
+    ``candidates ~= C(m, d) * n^2 / 2^key_bits`` bucket collisions, each
+    costing only one in-stream popcount since the verify runs before the
+    distinct (CAND_WEIGHT = 0.2 replicated-row-equivalents, calibrated on a
+    measured m-sweep at 4M uniform hashes / 16 cores: m=6 26s, m=7 34s,
+    m=5 72s, m=8 78s — a pure unweighted sum picks m=7 there). Minimal
+    ``m = d + 1`` maximizes neither term: its 1-block keys carry only
+    ``nbits/(d+1)`` bits, and on uniform hashes the quadratic collision
+    term dominates catastrophically past ~10^5 rows (measured: 2M rows at
+    d=4 with 12-bit keys -> ~2.4e9 false candidates). Scoring both terms is
+    the same lesson as ``planes_bands_for_threshold``'s cost model (r3
+    ADVICE: never optimize selectivity or replication alone). The
     block-combination scheme is Manku/Jain/Das Sarma's public simhash
     dedup construction (WWW'07 §3) re-expressed as a Spark equi-join.
     """
     from math import comb
 
+    CAND_WEIGHT = 0.2
     best_m, best_cost = max_hamming + 1, float("inf")
     for m in range(max_hamming + 1, min(nbits, 4 * (max_hamming + 1)) + 1):
         tables = comb(m, max_hamming)
@@ -507,7 +513,7 @@ def _hamming_block_config(
             continue
         key_bits = min((m - max_hamming) * (nbits // m), 62)
         cand = tables * (float(n_rows) * n_rows / 2.0) / float(2 ** key_bits)
-        cost = float(n_rows) * tables + cand
+        cost = float(n_rows) * tables + CAND_WEIGHT * cand
         if cost < best_cost:
             best_m, best_cost = m, cost
     return best_m

@@ -696,7 +696,7 @@ def test_hamming_block_chooser_scales_with_n():
     from geo_epic_spark.operators.dedup import _hamming_block_config
 
     ms = [_hamming_block_config(n, 4) for n in (100, 2_000_000, 10**9)]
-    assert ms[0] == 5 and ms == sorted(ms) and ms[-1] >= 8
+    assert ms[0] == 5 and ms == sorted(ms) and ms[-1] >= 7
 
 
 def test_hamming_near_dup_invariant_to_block_count(spark):
