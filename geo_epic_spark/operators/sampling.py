@@ -42,6 +42,7 @@ __all__ = [
     "hash_unit",
     "deterministic_sample",
     "stratified_sample",
+    "sample_to_mix",
     "shard_by_token_budget",
     "pack_greedy",
 ]
@@ -234,3 +235,94 @@ def pack_greedy(
         return pdf
 
     return df.groupBy(group).applyInPandas(_pack, schema=out_schema)
+
+
+def sample_to_mix(
+    df: DataFrame,
+    key: str,
+    group: str,
+    weights: dict[str, int],
+    salt: int = 0,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Downsample to an EXACT target domain mix (training-corpus source
+    balancing): ``weights`` gives integer mix parts per group value, e.g.
+    ``{'web': 5, 'code': 3, 'wiki': 2}`` for a 50/30/20 blend. The largest
+    feasible blend is ``n_units = min_g(count_g // w_g)`` and group ``g``
+    keeps exactly ``w_g * n_units`` rows — the ``w_g * n_units`` SMALLEST
+    rows under the reproducible ``(hash_unit(key, salt), key)`` order, so
+    the selection is a pure function of the data (independent of
+    partitioning, retries, and cluster size). Groups not in ``weights`` are
+    dropped. All blend arithmetic is integer — no float-boundary ambiguity.
+
+    Unlike ``stratified_sample`` (map-only, EXPECTED proportions), this
+    guarantees the realized mix, which matters when the blend ratio is the
+    training contract.
+
+    Scale shape (100 TB lens): exact per-group top-k WITHOUT a per-group
+    global sort. Phase 1 histograms rows into ``buckets`` hash ranges per
+    group — one partial-aggregated exchange of at most G x ``buckets`` tiny
+    rows, collected to the driver (bounded by the argument, not the data).
+    The driver picks, per group, the bucket prefix that fits under the take
+    and how many rows the boundary bucket still owes. Phase 2 is a map-only
+    filter for the prefix buckets, plus a row_number window over ONLY the
+    boundary-bucket rows (~take/buckets rows per group, not count_g) for the
+    remainder. Equal-hash rows always share a bucket (the bucket is a floor
+    of the hash), so prefix + ranked-boundary reproduces the global
+    (hash, key) order exactly.
+    """
+    for g, w in weights.items():
+        if int(w) <= 0:
+            raise ValueError(f"weight for group {g!r} must be positive, got {w}")
+    in_mix = df.filter(F.col(group).isin(*weights.keys()))
+    hcol = hash_unit(F.col(key), salt)
+    bcol = F.floor(hcol * F.lit(int(buckets))).cast("int")
+    hist = (
+        in_mix.groupBy(group, bcol.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()  # bounded: at most len(weights) * buckets rows
+    )
+    counts: dict[str, int] = {}
+    per_bucket: dict[str, dict[int, int]] = {}
+    for r in hist:
+        counts[r[group]] = counts.get(r[group], 0) + r["__n"]
+        per_bucket.setdefault(r[group], {})[r["__b"]] = r["__n"]
+    if set(weights) - set(counts):
+        # a requested group is absent: the only exact blend is empty
+        return in_mix.filter(F.lit(False)).select(df.columns)
+    n_units = min(counts[g] // int(w) for g, w in weights.items())
+    cutoff: dict[str, int] = {}     # first bucket NOT fully kept
+    owe: dict[str, int] = {}        # rows still owed from that bucket
+    for g, w in weights.items():
+        take = int(w) * n_units
+        acc = 0
+        cut = int(buckets)
+        for b in sorted(per_bucket[g]):
+            if acc + per_bucket[g][b] > take:
+                cut = b
+                break
+            acc += per_bucket[g][b]
+        cutoff[g], owe[g] = cut, take - acc
+    cut_expr = reduce(
+        lambda acc, kv: acc.when(F.col(group) == F.lit(kv[0]), F.lit(kv[1])),
+        cutoff.items(),
+        F.when(F.lit(False), F.lit(0)),
+    ).otherwise(F.lit(-1))
+    owe_expr = reduce(
+        lambda acc, kv: acc.when(F.col(group) == F.lit(kv[0]), F.lit(kv[1])),
+        owe.items(),
+        F.when(F.lit(False), F.lit(0)),
+    ).otherwise(F.lit(0))
+    prefix = in_mix.filter(bcol < cut_expr)
+    boundary = (
+        in_mix.filter(bcol == cut_expr)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(group).orderBy(hcol.asc(), F.col(key).asc())
+            ),
+        )
+        .filter(F.col("__rk") <= owe_expr)
+        .drop("__rk")
+    )
+    return prefix.unionByName(boundary)

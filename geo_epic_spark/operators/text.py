@@ -323,3 +323,61 @@ def contamination_report(
             "contaminated", (F.col("n_contaminated") > 0).cast("int")
         )
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    max_docs: int = 1,
+    out: str = "text_clean",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every line that
+    occurs (verbatim) in more than ``max_docs`` distinct documents —
+    navigation chrome, cookie banners, shared headers/footers — and
+    reassemble each document from its surviving lines in original order
+    (public methodology: Wenzek et al. 2020, CCNet §4.1, applied at line
+    rather than paragraph granularity).
+
+    Output: ``(key, out)`` with one row per INPUT document; a document whose
+    every line is boilerplate survives with ``out = ''`` (the consumer
+    decides whether to drop empties — that is a quality-floor policy, not a
+    dedup decision).
+
+    Scale shape (100 TB lens): three exchanges, all on bounded keys —
+    (1) the line-frequency aggregate shuffles exploded lines on the line
+    value with map-side partial distinct-doc counting; at web scale the
+    group key would be a 128-bit line fingerprint instead of the string
+    (identical plan, 16-byte shuffle rows) — kept as the raw line here so
+    the oracle is exact. (2) The common-line set (count > max_docs) is the
+    SMALL side by construction — boilerplate is, definitionally, the few
+    lines shared by many docs — so the anti-join BROADCASTS it; the
+    exploded corpus never shuffles for the filter. (3) Reassembly groups
+    surviving lines on the doc key (partial map-side collect). No window,
+    no global sort; per-doc line counts bound the collected arrays.
+    """
+    lines = df.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text), "\n")).alias("__pos", "__line"),
+    )
+    common = (
+        lines.groupBy("__line")
+        .agg(F.countDistinct(key).alias("__nd"))
+        .filter(F.col("__nd") > int(max_docs))
+        .select("__line")
+    )
+    kept = lines.join(F.broadcast(common), "__line", "left_anti")
+    rebuilt = kept.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(out)
+    )
+    return (
+        df.select(key)
+        .join(rebuilt, key, "left")
+        .withColumn(out, F.coalesce(F.col(out), F.lit("")))
+    )

@@ -150,3 +150,65 @@ def test_sampling_plan_shapes(spark, docs):
 
     kinds = set(re.findall(r"Exchange (\w+)", plan))
     assert kinds <= {"rangepartitioning"}, plan
+
+
+# ---------------------------------------------------------------------------
+# sample_to_mix: exact blend, equivalence to the naive global rank, edges
+# ---------------------------------------------------------------------------
+
+from geo_epic_spark.operators.sampling import sample_to_mix
+
+
+def test_mix_exact_counts(spark, docs):
+    """Realized counts are exactly weight * n_units per group; unlisted
+    groups are dropped."""
+    out = sample_to_mix(docs, "doc_id", "source", {"0": 5, "1": 3, "2": 2})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # 1250 per source -> n_units = min(1250//5, 1250//3, 1250//2) = 250
+    assert got == {"0": 1250, "1": 750, "2": 500}
+
+
+def test_mix_matches_naive_rank(spark, docs):
+    """The histogram-threshold selection (prefix buckets + ranked boundary)
+    returns EXACTLY the take smallest rows under (hash_unit, key) — the same
+    set a single per-group window rank would pick."""
+    from pyspark.sql import Window
+
+    weights = {"0": 3, "1": 1}
+    out = sample_to_mix(docs, "doc_id", "source", weights, salt=11, buckets=32)
+    naive = (
+        docs.filter(F.col("source").isin("0", "1"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    hash_unit(F.col("doc_id"), 11).asc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+    )
+    n_units = 1250 // 3
+    take = F.when(F.col("source") == "0", 3 * n_units).otherwise(1 * n_units)
+    want = naive.filter(F.col("__rk") <= take).select("doc_id")
+    a = sorted(r[0] for r in out.select("doc_id").collect())
+    b = sorted(r[0] for r in want.collect())
+    assert a == b
+
+
+def test_mix_partition_invariance(spark, docs):
+    a = sorted(r[0] for r in sample_to_mix(
+        docs.coalesce(1), "doc_id", "source", {"0": 2, "3": 1}).select("doc_id").collect())
+    b = sorted(r[0] for r in sample_to_mix(
+        docs.repartition(16), "doc_id", "source", {"0": 2, "3": 1}).select("doc_id").collect())
+    assert a == b and len(a) > 0
+
+
+def test_mix_absent_group_empty(spark, docs):
+    out = sample_to_mix(docs, "doc_id", "source", {"0": 1, "missing": 1})
+    assert out.count() == 0
+
+
+def test_mix_weight_validation(spark, docs):
+    with pytest.raises(ValueError):
+        sample_to_mix(docs, "doc_id", "source", {"0": 0})

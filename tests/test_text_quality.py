@@ -248,3 +248,44 @@ def test_top_ngrams_short_docs_empty_safe(spark):
 
     assert top_ngrams(docs, n=2, k=5).count() == 0
     assert [(r["gram"], r["cnt"]) for r in top_ngrams(docs, n=1, k=5).collect()] == [("one", 1)]
+
+
+# ---------------------------------------------------------------------------
+# remove_boilerplate_lines (CCNet-style line-level dedup)
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_lines_removed_and_order_kept(spark):
+    from geo_epic_spark.operators.text import remove_boilerplate_lines
+
+    rows = [
+        (i, "MENU\n" + f"body {i}" + ("\nCOOKIE NOTICE" if i % 2 == 0 else f"\ntail {i}"))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_clean"]
+           for r in remove_boilerplate_lines(df, max_docs=2).collect()}
+    # MENU in 8 docs and COOKIE NOTICE in 4 -> removed; unique lines kept in order
+    assert got[0] == "body 0"
+    assert got[1] == "body 1\ntail 1"
+    assert len(got) == 8
+
+
+def test_boilerplate_all_removed_doc_survives_empty(spark):
+    from geo_epic_spark.operators.text import remove_boilerplate_lines
+
+    rows = [(1, "SAME\nSAME2"), (2, "SAME\nSAME2"), (3, "SAME\nSAME2\nunique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_clean"]
+           for r in remove_boilerplate_lines(df, max_docs=2).collect()}
+    assert got == {1: "", 2: "", 3: "unique"}
+
+
+def test_boilerplate_threshold_boundary(spark):
+    """A line in exactly max_docs docs is NOT boilerplate (strict >)."""
+    from geo_epic_spark.operators.text import remove_boilerplate_lines
+
+    rows = [(1, "pair"), (2, "pair"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_clean"]
+           for r in remove_boilerplate_lines(df, max_docs=2).collect()}
+    assert got == {1: "pair", 2: "pair", 3: "solo"}
