@@ -3782,6 +3782,152 @@ def _sql_gee_scan() -> str:
     """
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (`remove_boilerplate_lines`):
+    drop every line occurring verbatim in > max_docs distinct documents and
+    reassemble the survivors in order. The synthetic docs are single-line, so
+    the corpus plants a three-line layout — a per-source header (boilerplate:
+    one per ~25+ docs), a unique body line, and a footer that is shared
+    chrome for doc_id % 4 == 0 and unique otherwise — proving both removal
+    kinds and the all-lines-survive reassembly in one pass. Line-frequency
+    agg + broadcast anti-join + per-doc regroup; no window, no global sort."""
+    from geo_epic_spark.operators.text import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    did = F.col("doc_id").cast("string")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HDR-"), F.col("source"), F.lit("\n"),
+            did, F.lit(":"), F.col("text"), F.lit("\n"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("SHARED FOOTER")).otherwise(
+                F.concat(F.lit("u-"), did)
+            ),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(corpus, max_docs=2).select(
+        "doc_id", "text_clean"
+    )
+
+
+def _sql_boilerplate() -> str:
+    return """
+    WITH corpus AS (
+      SELECT doc_id,
+             'HDR-' || source || chr(10)
+             || CAST(doc_id AS VARCHAR) || ':' || text || chr(10)
+             || CASE WHEN doc_id % 4 = 0 THEN 'SHARED FOOTER'
+                     ELSE 'u-' || CAST(doc_id AS VARCHAR) END AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM corpus
+    ),
+    common AS (
+      SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 2
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM lines
+      WHERE line NOT IN (SELECT line FROM common)
+    )
+    SELECT c.doc_id AS doc_id,
+           coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text_clean
+    FROM corpus c LEFT JOIN kept k ON c.doc_id = k.doc_id
+    GROUP BY c.doc_id
+    """
+
+
+def q_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact domain-mix downsampling (`sample_to_mix`): blend sources to
+    integer parts 5:3:2 — group g keeps exactly w_g * n_units rows, the
+    smallest under the reproducible (hash, key) order. The engine runs the
+    scalable histogram-threshold plan (prefix hash-buckets map-only +
+    boundary-bucket-only rank); the oracle is the NAIVE per-group global
+    rank — a hash match proves the two selections identical."""
+    from geo_epic_spark.operators.sampling import sample_to_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_to_mix(
+        docs, "doc_id", "source", {"src0": 5, "src1": 3, "src2": 2}, salt=7
+    ).select("doc_id", "source")
+
+
+def _sql_sample_to_mix() -> str:
+    return """
+    WITH h AS (
+      SELECT doc_id, source,
+             ((((doc_id % 1000003) + 7) * 2654435761) % 2147483647
+              * 48271) % 2147483647 AS hv,
+             CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3 ELSE 2 END AS w
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    c AS (SELECT source, w, count(*) AS n FROM h GROUP BY source, w),
+    nu AS (SELECT min(n // w) AS n_units FROM c),
+    r AS (
+      SELECT doc_id, source, w,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+      FROM h
+    )
+    SELECT doc_id, source FROM r, nu WHERE rk <= w * n_units
+    """
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (`assign_aspect_buckets`): nearest-ratio bucket
+    per image from a stride-256 bucket set under a 1 MP budget — the standard
+    variable-aspect batching layout (NovelAI/SDXL methodology). Image dims
+    are SQL-computable integer-hash synthetics; the distance key
+    abs(w*bh - h*bw)/bh is exact-integer + one IEEE division, so both engines
+    rank buckets bit-identically. Engine side is a map-only Column fold (no
+    join, no shuffle); the oracle cross-joins and ranks."""
+    from geo_epic_spark.images.aspect import assign_aspect_buckets, generate_buckets
+
+    e = _t(spark, sf_dir, "events").select("event_id").filter("event_id < 2000")
+    imgs = e.select(
+        F.col("event_id").alias("img_id"),
+        (F.lit(160) + F.pmod(F.col("event_id") * 37, F.lit(1900)))
+        .cast("int")
+        .alias("w"),
+        (F.lit(160) + F.pmod(F.col("event_id") * 53, F.lit(1400)))
+        .cast("int")
+        .alias("h"),
+    )
+    out = assign_aspect_buckets(
+        imgs, generate_buckets(1024 * 1024, 256, 512, 2048)
+    )
+    return out.select("img_id", "w", "h", "bucket_id", "bucket_w", "bucket_h")
+
+
+def _sql_aspect_buckets() -> str:
+    from geo_epic_spark.images.aspect import generate_buckets
+
+    bks = generate_buckets(1024 * 1024, 256, 512, 2048)
+    vals = ", ".join(
+        f"({i}, {bw}, {bh})" for i, (bw, bh) in enumerate(bks)
+    )
+    return f"""
+    WITH imgs AS (
+      SELECT event_id AS img_id,
+             CAST(160 + (event_id * 37) % 1900 AS INT) AS w,
+             CAST(160 + (event_id * 53) % 1400 AS INT) AS h
+      FROM events WHERE event_id < 2000
+    ),
+    ranked AS (
+      SELECT img_id, w, h, b.idx, b.bw, b.bh,
+             row_number() OVER (
+               PARTITION BY img_id
+               ORDER BY CAST(abs(w * b.bh - h * b.bw) AS DOUBLE) / b.bh,
+                        b.idx) AS rn
+      FROM imgs CROSS JOIN (VALUES {vals}) AS b(idx, bw, bh)
+    )
+    SELECT img_id, w, h, idx AS bucket_id, bw AS bucket_w, bh AS bucket_h
+    FROM ranked WHERE rn = 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3918,6 +4064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_embeddings": q_quantize_embeddings,  # int8 ANN quantization
         "q_phash_near_dup": q_phash_near_dup,        # banded hamming image dedup
         "q_decontaminate": q_decontaminate,          # benchmark n-gram overlap
+        "q_boilerplate": q_boilerplate,              # CCNet line-level removal
+        "q_sample_to_mix": q_sample_to_mix,          # exact domain-mix blend
+        "q_aspect_buckets": q_aspect_buckets,        # aspect-ratio batching
     }
 
 
@@ -4006,4 +4155,7 @@ def oracle_sql() -> dict[str, str]:
         "q_gee_scan": _sql_gee_scan(),
         "q_phash_near_dup": _sql_phash_near_dup(),
         "q_decontaminate": _sql_decontaminate(),
+        "q_boilerplate": _sql_boilerplate(),
+        "q_sample_to_mix": _sql_sample_to_mix(),
+        "q_aspect_buckets": _sql_aspect_buckets(),
     }
