@@ -3928,6 +3928,37 @@ def _sql_aspect_buckets() -> str:
     """
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (`chunk_documents`): 48-token
+    chunks re-reading 8, the layout step between curation and packing for
+    docs longer than the model context. Chunk 0 always exists; a later
+    chunk exists iff it adds at least one new token (no overlap-only
+    tails). Map-only split/sequence/explode/slice — zero shuffle; every
+    boundary is integer floor-division arithmetic, mirrored exactly."""
+    from geo_epic_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=48, overlap=8)
+
+
+def _sql_chunk_docs() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    ks AS (
+      SELECT doc_id, t, n,
+             unnest(range(0, 1 + greatest(0, (n - 8 - 1) // 40))) AS k
+      FROM base
+    )
+    SELECT doc_id, CAST(k AS INT) AS chunk_id,
+           array_to_string(t[k * 40 + 1 : k * 40 + 48], ' ') AS chunk_text,
+           CAST(least(48, n - k * 40) AS INT) AS n_tokens
+    FROM ks
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4067,6 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate": q_boilerplate,              # CCNet line-level removal
         "q_sample_to_mix": q_sample_to_mix,          # exact domain-mix blend
         "q_aspect_buckets": q_aspect_buckets,        # aspect-ratio batching
+        "q_chunk_docs": q_chunk_docs,                # overlapping token windows
     }
 
 
@@ -4158,4 +4190,5 @@ def oracle_sql() -> dict[str, str]:
         "q_boilerplate": _sql_boilerplate(),
         "q_sample_to_mix": _sql_sample_to_mix(),
         "q_aspect_buckets": _sql_aspect_buckets(),
+        "q_chunk_docs": _sql_chunk_docs(),
     }

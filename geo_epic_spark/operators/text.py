@@ -381,3 +381,61 @@ def remove_boilerplate_lines(
         .join(rebuilt, key, "left")
         .withColumn(out, F.coalesce(F.col(out), F.lit("")))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the layout
+    step between curation and sequence packing when docs exceed the model
+    context (each chunk re-reads ``overlap`` tokens of its predecessor so
+    no span is ever cut without context).
+
+    Chunk k covers tokens ``[k*step, k*step + chunk_tokens)`` with
+    ``step = chunk_tokens - overlap``; chunk 0 always exists, and a later
+    chunk exists iff it contributes at least one NEW token
+    (``k*step + overlap < n_tokens``), so the tail is never an
+    overlap-only duplicate. All boundary arithmetic is integer (floor
+    division), identical across engines.
+
+    Output: ``(key, chunk_id, chunk_text, n_tokens)``, one row per chunk.
+
+    Scale shape: pure Column expressions — split, sequence, explode, slice —
+    map-only with zero shuffle at any corpus size; the explode fan-out is
+    bounded by doc length / step. Whitespace tokenization here; a real BPE
+    swaps in an Arrow-batched mapInPandas with the same boundary contract.
+    """
+    if overlap < 0 or chunk_tokens <= overlap:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.floor((n - F.lit(overlap) - F.lit(1)) / F.lit(step)).cast("int"),
+    )
+    start = F.col("__k") * F.lit(step)  # 0-based; slice() is 1-based
+    return (
+        df.select(
+            F.col(key),
+            toks.alias("__t"),
+            n.alias("__n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("__k"),
+        )
+        .select(
+            F.col(key),
+            F.col("__k").cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__t"), start + F.lit(1), F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.col("__n") - start)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )

@@ -289,3 +289,53 @@ def test_boilerplate_threshold_boundary(spark):
     got = {r["doc_id"]: r["text_clean"]
            for r in remove_boilerplate_lines(df, max_docs=2).collect()}
     assert got == {1: "pair", 2: "pair", 3: "solo"}
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (overlapping token windows)
+# ---------------------------------------------------------------------------
+
+def test_chunk_boundaries_and_overlap(spark):
+    from geo_epic_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    got = {r["chunk_id"]: (r["chunk_text"], r["n_tokens"])
+           for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()}
+    # step=3: starts 0,3,6 valid (start+1 < 10); start 9 would add only w9...
+    # 9*? k=3 -> start 9, start+overlap=10 not < 10 -> excluded
+    assert got == {
+        0: ("w0 w1 w2 w3", 4),
+        1: ("w3 w4 w5 w6", 4),
+        2: ("w6 w7 w8 w9", 4),
+    }
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    from geo_epic_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b"), (2, "only")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    got = {(r["doc_id"], r["chunk_id"]): r["n_tokens"] for r in out}
+    assert got == {(1, 0): 2, (2, 0): 1}
+
+
+def test_chunk_no_overlap_only_tail(spark):
+    """A tail that would contain only re-read tokens is not emitted."""
+    from geo_epic_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(6))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    got = sorted(r["chunk_id"] for r in
+                 chunk_documents(df, chunk_tokens=4, overlap=2).collect())
+    # step=2: starts 0,2 (2+2<6); start 4 -> 4+2=6 not < 6 -> excluded
+    assert got == [0, 1]
+
+
+def test_chunk_validation(spark):
+    import pytest as _pt
+    from geo_epic_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
