@@ -3959,6 +3959,55 @@ def _sql_chunk_docs() -> str:
     """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality scoring (`bigram_lm_score`): self-trained
+    add-alpha bigram model, per-doc mean negative log-likelihood — the
+    CCNet head/middle/tail bucketing signal (Wenzek et al. 2020), KenLM
+    replaced by a corpus-trained bigram model so the whole path is
+    DataFrame aggregates + equi-joins on 64-bit gram hashes (shuffle
+    carries ~|distinct bigrams|, never token text). The oracle retrains
+    the identical model in SQL and re-derives every score."""
+    from geo_epic_spark.operators.text import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_score(docs, alpha=0.5)
+
+
+def _sql_bigram_lm() -> str:
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks
+    ),
+    bg AS (SELECT g, count(*) AS c12 FROM big GROUP BY 1),
+    ctx AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+    vocab AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(t) AS w FROM toks)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             -ln((bg.c12 + 0.5) / (ctx.c1 + 0.5 * vocab.v)) AS nll
+      FROM big b JOIN bg USING (g) JOIN ctx USING (w1), vocab
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+      FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           a.avg_nll AS avg_nll
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4099,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_to_mix": q_sample_to_mix,          # exact domain-mix blend
         "q_aspect_buckets": q_aspect_buckets,        # aspect-ratio batching
         "q_chunk_docs": q_chunk_docs,                # overlapping token windows
+        "q_bigram_lm": q_bigram_lm,                  # CCNet-style LM perplexity
     }
 
 
@@ -4191,4 +4241,5 @@ def oracle_sql() -> dict[str, str]:
         "q_sample_to_mix": _sql_sample_to_mix(),
         "q_aspect_buckets": _sql_aspect_buckets(),
         "q_chunk_docs": _sql_chunk_docs(),
+        "q_bigram_lm": _sql_bigram_lm(),
     }

@@ -439,3 +439,119 @@ def chunk_documents(
             .alias("n_tokens"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    alpha: float = 0.5,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """LM-perplexity quality scoring (CCNet methodology, Wenzek et al. 2020
+    — public paper; they train a KenLM 5-gram and bucket the corpus by
+    perplexity, this op is the same plumbing with a self-trained add-alpha
+    bigram model so it stays library-free and SQL-oracle-able).
+
+    Train: bigram counts C(w1,w2) and outgoing-context counts C(w1) over
+    the (lowercased, whitespace-split) corpus; vocabulary V = distinct
+    tokens. Score: per document, mean negative log-likelihood over its
+    bigrams with P(w2|w1) = (C(w1,w2) + alpha) / (C(w1) + alpha*V). Lower
+    ``avg_nll`` = more language-model-typical text (CCNet keeps the "head"
+    bucket). Docs with < 2 tokens score NULL with n_bigrams = 0.
+
+    Scale shape: the model is two hash aggregates over exploded bigrams —
+    the shuffle key is the 64-bit xxhash of the gram, never the text, and
+    partial aggregation collapses repeats map-side so the shuffled rows are
+    ~|distinct bigrams|, not |tokens| (same layout as repetition_report).
+    Scoring is two equi-joins on those 8-byte hash keys; frequent grams
+    ("of the") make the join many-to-one with a hot build key — AQE
+    skew-split handles the probe side, and at 10^12 docs the model table
+    (|distinct bigrams| rows of 16 bytes) is usually broadcastable after
+    a min-count floor. Pass ``model=`` (the triple returned by
+    ``bigram_lm_train``) to reuse one trained model across many scoring
+    runs instead of re-aggregating per call.
+    """
+    toks = df.select(
+        key, F.split(F.lower(F.trim(F.col(text))), r"\s+").alias("__t")
+    )
+    big = toks.select(
+        key,
+        F.explode(
+            # sequence(1, 0) DESCENDS in Spark — guard the 1-token case
+            F.expr(
+                "if(size(__t) < 2, array(),"
+                " transform(sequence(1, size(__t) - 1),"
+                " i -> struct(element_at(__t, i) AS w1,"
+                "             concat(element_at(__t, i), ' ',"
+                "                    element_at(__t, i + 1)) AS g)))"
+            )
+        ).alias("__b"),
+    ).select(key, F.xxhash64("__b.w1").alias("__ch"), F.xxhash64("__b.g").alias("__gh"))
+    if model is None:
+        model = bigram_lm_train(df, text=text)
+    bg_counts, ctx_counts, vocab = model
+    scored = (
+        # LEFT joins: with a pretrained ``model`` an unseen bigram/context
+        # must get the smoothed floor alpha / (C(w1) + alpha*V) — an inner
+        # join would silently drop it and overrate out-of-domain docs.
+        # (Self-trained, every scored gram is in the model; same result.)
+        big.join(bg_counts, "__gh", "left")
+        .join(ctx_counts, "__ch", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            key,
+            (
+                -F.log(
+                    (F.coalesce("__c12", F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce("__c1", F.lit(0)) + F.lit(alpha) * F.col("__v"))
+                )
+            ).alias("__nll"),
+        )
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__nll"), 6).alias("avg_nll"),
+        )
+    )
+    return (
+        df.select(key)
+        .join(scored, key, "left")
+        .na.fill(0, ["n_bigrams"])
+        .select(key, F.col("n_bigrams").cast("long").alias("n_bigrams"), "avg_nll")
+    )
+
+
+def bigram_lm_train(
+    df: DataFrame, text: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the add-alpha bigram model used by ``bigram_lm_score``:
+    returns ``(bigram_counts(__gh, __c12), context_counts(__ch, __c1),
+    vocab(__v))`` keyed by 64-bit gram hashes. Persist these as parquet to
+    score many corpora against one reference model (the actual CCNet
+    setup: model trained on Wikipedia, applied to Common Crawl)."""
+    toks = df.select(F.split(F.lower(F.trim(F.col(text))), r"\s+").alias("__t"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "if(size(__t) < 2, array(),"
+                " transform(sequence(1, size(__t) - 1),"
+                " i -> struct(element_at(__t, i) AS w1,"
+                "             concat(element_at(__t, i), ' ',"
+                "                    element_at(__t, i + 1)) AS g)))"
+            )
+        ).alias("__b")
+    )
+    bg_counts = (
+        big.groupBy(F.xxhash64("__b.g").alias("__gh"))
+        .agg(F.count(F.lit(1)).alias("__c12"))
+    )
+    ctx_counts = (
+        big.groupBy(F.xxhash64("__b.w1").alias("__ch"))
+        .agg(F.count(F.lit(1)).alias("__c1"))
+    )
+    vocab = (
+        toks.select(F.explode("__t").alias("__w"))
+        .agg(F.count_distinct("__w").alias("__v"))
+    )
+    return bg_counts, ctx_counts, vocab

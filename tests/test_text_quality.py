@@ -339,3 +339,69 @@ def test_chunk_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pt.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_bigram_lm_score_matches_hand_model(spark):
+    """Tiny corpus where the add-alpha bigram model is computable by hand:
+    every score re-derived in pure python from the same counts."""
+    import math
+
+    from geo_epic_spark.operators.text import bigram_lm_score
+
+    docs = [
+        (0, "a b a b"),   # bigrams: (a b) x2, (b a) x1
+        (1, "a b c"),     # (a b), (b c)
+        (2, "c"),         # < 2 tokens -> NULL score
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_lm_score(df, alpha=0.5).collect()}
+
+    # corpus bigrams: ab=3, ba=1, bc=1; contexts: a=3, b=2; vocab = {a,b,c}
+    c12 = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    c1 = {"a": 3, "b": 2}
+    v = 3
+
+    def p(w1, w2):
+        return (c12[(w1, w2)] + 0.5) / (c1[w1] + 0.5 * v)
+
+    nll0 = -(math.log(p("a", "b")) * 2 + math.log(p("b", "a"))) / 3
+    nll1 = -(math.log(p("a", "b")) + math.log(p("b", "c"))) / 2
+    assert out[0]["n_bigrams"] == 3
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[0]["avg_nll"] - round(nll0, 6)) < 1e-9
+    assert abs(out[1]["avg_nll"] - round(nll1, 6)) < 1e-9
+    # repeated high-probability bigram scores LOWER nll than the rarer mix
+    assert out[0]["avg_nll"] < out[1]["avg_nll"]
+    # 1-token doc: present, zero bigrams, NULL score
+    assert out[2]["n_bigrams"] == 0 and out[2]["avg_nll"] is None
+
+
+def test_bigram_lm_pretrained_model_reuse(spark):
+    """CCNet setup: model trained on one corpus, applied to another —
+    scoring must use the PASSED model's counts, not retrain."""
+    from geo_epic_spark.operators.text import bigram_lm_score, bigram_lm_train
+
+    train = spark.createDataFrame([(0, "x y x y x y")], ["doc_id", "text"])
+    score = spark.createDataFrame([(7, "x y")], ["doc_id", "text"])
+    model = bigram_lm_train(train)
+    out = bigram_lm_score(score, model=model).collect()[0]
+    import math
+
+    # from TRAIN corpus: c(x y)=3, c(x)=3, vocab={x,y} -> p=(3.5)/(3+1)
+    assert out["n_bigrams"] == 1
+    assert abs(out["avg_nll"] - round(-math.log(3.5 / 4.0), 6)) < 1e-9
+
+
+def test_bigram_lm_unseen_grams_get_smoothed_floor(spark):
+    """A doc whose bigrams the pretrained model never saw must score the
+    add-alpha floor, not be silently dropped (left-join semantics)."""
+    import math
+
+    from geo_epic_spark.operators.text import bigram_lm_score, bigram_lm_train
+
+    train = spark.createDataFrame([(0, "x y x y")], ["doc_id", "text"])
+    score = spark.createDataFrame([(7, "q r")], ["doc_id", "text"])
+    out = bigram_lm_score(score, model=bigram_lm_train(train)).collect()[0]
+    # unseen bigram AND unseen context: p = alpha / (0 + alpha*V), V=2
+    assert out["n_bigrams"] == 1
+    assert abs(out["avg_nll"] - round(-math.log(0.5 / 1.0), 6)) < 1e-9
