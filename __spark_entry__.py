@@ -3959,6 +3959,32 @@ def _sql_chunk_docs() -> str:
     """
 
 
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-information image filter (`image_quality_report`): decode +
+    contrast/entropy/sharpness stats in one Arrow map stage, flag images
+    below the contrast AND entropy floors — the image-side quality floor of
+    a multimodal curation pipeline. Planted ground truth: every ``i % 9 ==
+    0`` payload is a constant-pixel frame (contrast = entropy = 0); natural
+    frames measure >= (16, 5.6) so the (4.0, 1.0) floors split exactly on
+    the plant. The stats themselves are payload-derived (not
+    SQL-computable); the flag SET is — the oracle emits it from the
+    generator's index rule, so any decode or stats regression that
+    misclassifies one image breaks the hash."""
+    from geo_epic_spark.images.udfs import full_images_df, image_quality_report
+
+    df = full_images_df(spark, 300, flat_mod=9)
+    rep = image_quality_report(df, min_contrast=4.0, min_entropy_bits=1.0)
+    return rep.select("image_id", "low_info")
+
+
+def _sql_image_quality() -> str:
+    return """
+    SELECT printf('img%012d', i) AS image_id,
+           CAST(CASE WHEN i % 9 = 0 THEN 1 ELSE 0 END AS INT) AS low_info
+    FROM (SELECT unnest(range(300)) AS i)
+    """
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-perplexity quality scoring (`bigram_lm_score`): self-trained
     add-alpha bigram model, per-doc mean negative log-likelihood — the
@@ -4149,6 +4175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_aspect_buckets": q_aspect_buckets,        # aspect-ratio batching
         "q_chunk_docs": q_chunk_docs,                # overlapping token windows
         "q_bigram_lm": q_bigram_lm,                  # CCNet-style LM perplexity
+        "q_image_quality": q_image_quality,          # low-info image filter
     }
 
 
@@ -4242,4 +4269,5 @@ def oracle_sql() -> dict[str, str]:
         "q_aspect_buckets": _sql_aspect_buckets(),
         "q_chunk_docs": _sql_chunk_docs(),
         "q_bigram_lm": _sql_bigram_lm(),
+        "q_image_quality": _sql_image_quality(),
     }

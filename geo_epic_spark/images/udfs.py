@@ -39,7 +39,12 @@ IMAGE_SCHEMA = StructType(
 )
 
 
-def full_images_df(spark: SparkSession, n: int, seed_mod: int | None = None) -> DataFrame:
+def full_images_df(
+    spark: SparkSession,
+    n: int,
+    seed_mod: int | None = None,
+    flat_mod: int | None = None,
+) -> DataFrame:
     """The BASELINE.json input table, payload included:
     (image_id, bytes, w, h, fmt, caption, phash) + tile-bound columns.
 
@@ -49,6 +54,11 @@ def full_images_df(spark: SparkSession, n: int, seed_mod: int | None = None) -> 
     ``seed_mod``: seed the pixel generator with ``i % seed_mod`` to plant
     exact duplicate payloads for dedup tests — (w, h, fmt) have period 90 in
     ``i``, so any multiple of 90 makes row i and i+seed_mod byte-identical.
+
+    ``flat_mod``: rows with ``i % flat_mod == 0`` get a CONSTANT-pixel
+    payload (zero contrast/entropy) — planted low-information images whose
+    index set is the SQL-expressible ground truth for quality-filter
+    oracles.
     """
     meta = images_meta_df(spark, n)
     out_schema = StructType(
@@ -61,7 +71,10 @@ def full_images_df(spark: SparkSession, n: int, seed_mod: int | None = None) -> 
             blobs, hashes = [], []
             for i, w, h, fmt in zip(pdf["i"], pdf["w"], pdf["h"], pdf["fmt"]):
                 seed = int(i) % seed_mod if seed_mod else int(i)
-                arr = codec.synth_pixels(seed, int(w), int(h))
+                if flat_mod and int(i) % flat_mod == 0:
+                    arr = np.full((int(h), int(w), 3), 127, dtype=np.uint8)
+                else:
+                    arr = codec.synth_pixels(seed, int(w), int(h))
                 blobs.append(codec.encode_image(arr, fmt))
                 hashes.append(codec.phash64(codec.decode_image(blobs[-1], fmt)))
             pdf = pdf.copy()
@@ -144,3 +157,61 @@ def resize_images(df: DataFrame, target: int = 224) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(_resize, schema=df.schema)
+
+
+_QUALITY_SCHEMA = StructType(
+    [
+        StructField("contrast", DoubleType()),
+        StructField("entropy_bits", DoubleType()),
+        StructField("sharpness", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_QUALITY_SCHEMA)
+def quality_stats(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """Per-image information stats for quality filtering: luminance
+    contrast (std dev), 8-bit histogram entropy (bits), and a gradient
+    sharpness proxy (mean |dI/dx| + |dI/dy|). Arrow-batched; the per-image
+    numpy kernel is inherent to a per-image op (same shape as
+    ``decode_stats``)."""
+    cons, ents, shps = [], [], []
+    for blob, f in zip(data, fmt):
+        arr = codec.decode_image(bytes(blob), f)
+        gray = arr.astype(np.float64).mean(axis=-1)
+        cons.append(float(gray.std()))
+        hist = np.bincount(
+            np.clip(gray, 0, 255).astype(np.uint8).ravel(), minlength=256
+        )
+        p = hist[hist > 0] / gray.size
+        ents.append(float(-(p * np.log2(p)).sum() + 0.0))  # +0.0 kills -0.0
+        gx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0.0
+        gy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0.0
+        shps.append(float(gx + gy))
+    return pd.DataFrame(
+        {"contrast": cons, "entropy_bits": ents, "sharpness": shps}
+    )
+
+
+def image_quality_report(
+    df: DataFrame,
+    min_contrast: float = 4.0,
+    min_entropy_bits: float = 1.0,
+) -> DataFrame:
+    """Low-information image filter — the image-side analog of the text
+    quality floor in a multimodal curation pipeline (flat/near-flat frames:
+    failed downloads, solid-color placeholders, letterbox fills). Decode +
+    stats in ONE map-only Arrow stage (zero shuffle at any scale); the
+    ``low_info`` flag marks images below BOTH the contrast and entropy
+    floors, the caller filters or routes on it."""
+    s = quality_stats("bytes", "fmt")
+    return df.withColumn("__q", s).select(
+        *[c for c in df.columns if c not in ("bytes",)],
+        F.col("__q.contrast").alias("contrast"),
+        F.col("__q.entropy_bits").alias("entropy_bits"),
+        F.col("__q.sharpness").alias("sharpness"),
+        (
+            (F.col("__q.contrast") < F.lit(min_contrast))
+            & (F.col("__q.entropy_bits") < F.lit(min_entropy_bits))
+        ).cast("int").alias("low_info"),
+    )

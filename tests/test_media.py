@@ -66,3 +66,24 @@ def test_video_container_layout(spark):
     )
     for f in range(media.VIDEO_FRAMES):
         np.testing.assert_array_equal(arr[f], media.video_frame_np(0, f))
+
+
+def test_image_quality_flags_flat_frames(spark):
+    """Planted constant-pixel frames (i % 7 == 0) are flagged low_info;
+    every natural frame passes; stats carry the expected ordering."""
+    from geo_epic_spark.images.udfs import full_images_df, image_quality_report
+
+    df = full_images_df(spark, 42, flat_mod=7)
+    out = {r["i"]: r for r in image_quality_report(df).collect()}
+    assert len(out) == 42
+    for i, r in out.items():
+        if i % 7 == 0:
+            assert r["low_info"] == 1
+            assert r["contrast"] == 0.0 and r["entropy_bits"] == 0.0
+            assert r["sharpness"] == 0.0
+        else:
+            assert r["low_info"] == 0
+            assert r["contrast"] > 10.0 and r["entropy_bits"] > 4.0
+            assert r["sharpness"] > 1.0
+    # bytes column is dropped (report is safe to collect/inspect)
+    assert "bytes" not in next(iter(out.values())).asDict()
