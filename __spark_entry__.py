@@ -4073,7 +4073,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stays in the head: q_salted_pip (J5 held by q_tile_assign; the skew
     evidence also lives in test_plans + PLANS.md), q_bucketed_join (J4 held
     by q_soil_projection; the zero-Exchange plan assertion still runs in
-    pytest), q_harmonic_fit (W8 held by q_double_logistic)."""
+    pytest), q_harmonic_fit (W8 held by q_double_logistic).
+
+    Third round-4 reorder: q_decontaminate (benchmark n-gram overlap — a
+    first-class training-corpus hygiene pass with no other family row)
+    takes the slot of q_smooth_savgol, whose §2 cell W6 stays driver-green
+    via q_smooth_gaussian (savgol keeps its oracle + CORRECTNESS_LOCAL
+    row and its kernel-parity pytest)."""
     return {
         # spatial flagship path (J1/J2/J3/J5/J6, S4, S10)
         "q_tile_assign": q_tile_assign,
@@ -4123,7 +4129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_ivf_topk": q_ivf_topk,
         # phenology / smoothing / validation / schedule ops (W5-W9, P2, §2.6)
-        "q_smooth_savgol": q_smooth_savgol,
+        "q_decontaminate": q_decontaminate,      # benchmark n-gram decontamination
         "q_smooth_gaussian": q_smooth_gaussian,  # W6 method 2 (new r4)
         "q_count_seasons": q_count_seasons,
         "q_double_logistic": q_double_logistic,
@@ -4169,7 +4175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_bigrams": q_vocab_bigrams,          # corpus vocab top-k
         "q_quantize_embeddings": q_quantize_embeddings,  # int8 ANN quantization
         "q_phash_near_dup": q_phash_near_dup,        # banded hamming image dedup
-        "q_decontaminate": q_decontaminate,          # benchmark n-gram overlap
+        "q_smooth_savgol": q_smooth_savgol,          # W6 method 1: q_smooth_gaussian
         "q_boilerplate": q_boilerplate,              # CCNet line-level removal
         "q_sample_to_mix": q_sample_to_mix,          # exact domain-mix blend
         "q_aspect_buckets": q_aspect_buckets,        # aspect-ratio batching
