@@ -2791,6 +2791,94 @@ def _sql_stateful_dedup() -> str:
 SESSION_GAP_S = 28800  # 8 h: the synthetic event stream's median gap is ~7.3 h
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap sessionization (`sessionize_stream`,
+    applyInPandasWithState + EventTimeTimeout) over the events parquet
+    replayed through readStream with an availableNow trigger. The single
+    file arrives as one micro-batch, so exactly the in-data-closed sessions
+    are emitted — every session except each user's final (still-open) one;
+    the oracle re-derives that set with the batch window SQL at the same
+    microsecond gap precision. Proves the stateful micro-batch plan agrees
+    with the declarative batch plan row-for-row."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    from geo_epic_spark.streaming.stateful import sessionize_stream
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    src_dir = _scratch(f"stream_src_events_{tag}")
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sess = sessionize_stream(
+        stream, gap=f"{SESSION_GAP_S} seconds", watermark="1 hour",
+        ts="ts", key="user_id",
+    )
+    name = "qss_" + uuid.uuid4().hex[:8]
+    ckpt = _scratch("stream_ckpt_" + name)
+    # availableNow appends a NO-DATA micro-batch whose advanced watermark
+    # fires EventTimeTimeouts (flushing open sessions of idle users mid-
+    # replay); turn it off so this replay emits exactly the in-data-closed
+    # session set — the timeout path itself is exercised in
+    # tests/test_streaming_stateful.py
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(nodata_key, "true")
+    spark.conf.set(nodata_key, "false")
+    try:
+        q = (
+            sess.writeStream.format("memory").queryName(name)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(nodata_key, prev)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+def _sql_stream_sessionize() -> str:
+    return f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             epoch(ts) - epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_S} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    ),
+    roll AS (
+      SELECT user_id, session_no,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             count(*) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM roll
+    WHERE session_no < (SELECT max(session_no) FROM roll r2
+                        WHERE r2.user_id = roll.user_id)
+    """
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream (classic lag + running
     sum over a per-user window): a new session starts when the gap to the
@@ -4182,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_docs": q_chunk_docs,                # overlapping token windows
         "q_bigram_lm": q_bigram_lm,                  # CCNet-style LM perplexity
         "q_image_quality": q_image_quality,          # low-info image filter
+        "q_stream_sessionize": q_stream_sessionize,  # stateful streaming sessions
     }
 
 
@@ -4276,4 +4365,5 @@ def oracle_sql() -> dict[str, str]:
         "q_chunk_docs": _sql_chunk_docs(),
         "q_bigram_lm": _sql_bigram_lm(),
         "q_image_quality": _sql_image_quality(),
+        "q_stream_sessionize": _sql_stream_sessionize(),
     }

@@ -108,3 +108,124 @@ def stateful_dedup_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts: str = "event_ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Streaming gap sessionization via ``applyInPandasWithState`` — the
+    continuous counterpart of the batch ``sessionize`` operator (same
+    semantics: a new session starts when the gap to the previous event
+    EXCEEDS ``gap``; an exact-gap event stays in-session).
+
+    A session closes two ways:
+
+    * **in-data**: a later event of the same key arrives more than ``gap``
+      after the session's last event — the closed session is emitted in
+      that micro-batch;
+    * **by timeout**: no successor arrives and the event-time watermark
+      passes ``last_event + gap`` — the open session is emitted when the
+      timeout fires (EventTimeTimeout, so idle keys cost one 24-byte state
+      row until the watermark sweeps them out; nothing waits on wall
+      clock).
+
+    State per key is (start_us, last_us, n_events) — fixed 24 bytes no
+    matter how many events the session absorbed, so 10^9 concurrent users
+    hold ~24 GB of state across the cluster, partitioned by key. Per-batch
+    work is vectorized (numpy diff/cumsum over the key's sorted events).
+
+    Output: one row per CLOSED session ``(key, session_start, session_end,
+    n_events)``, append-mode friendly.
+    """
+    import numpy as np
+
+    gap_us = _duration_ms(gap) * 1000  # microsecond precision end-to-end
+    out_schema = StructType(
+        [
+            stream.schema[key],
+            StructField("session_start", stream.schema[ts].dataType),
+            StructField("session_end", stream.schema[ts].dataType),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    def _fn(k, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        def _emit(rows):
+            return pd.DataFrame(
+                {
+                    key: [k[0]] * len(rows),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, *_ in rows],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in rows],
+                    "n_events": np.array([n for *_, n in rows], dtype=np.int64),
+                }
+            )
+
+        if state.hasTimedOut:
+            s0, l0, n0 = state.get
+            state.remove()
+            yield _emit([(s0, l0, n0)])
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        t = np.sort(batch[ts].values.astype("datetime64[us]").astype(np.int64))
+        # vectorized segmenting of the batch alone: a boundary wherever the
+        # gap STRICTLY exceeds gap_us (exact-gap events stay in-session,
+        # matching the batch sessionize operator)
+        starts_idx = np.flatnonzero(
+            np.concatenate(([True], np.diff(t) > gap_us))
+        )
+        ends_idx = np.concatenate((starts_idx[1:] - 1, [len(t) - 1]))
+        sessions = [
+            (int(t[a]), int(t[b]), int(b - a + 1))
+            for a, b in zip(starts_idx, ends_idx)
+        ]
+        if state.exists:
+            s0, l0, n0 = state.get
+            if t[0] - l0 <= gap_us:
+                # first batch segment continues the open session
+                _, e, n = sessions[0]
+                sessions[0] = (s0, max(e, l0), n0 + n)
+            else:
+                sessions.insert(0, (s0, l0, n0))
+        closed, (s0, l0, n0) = sessions[:-1], sessions[-1]
+        state.update((int(s0), int(l0), int(n0)))
+        # a late (but in-watermark) event can leave last+gap behind the
+        # watermark; the timeout must still be strictly ahead of it
+        # timeout API is millisecond-granular: ceil so it never fires a
+        # sub-ms EARLY (and always strictly ahead of the current watermark)
+        state.setTimeoutTimestamp(
+            max(-(-(int(l0) + gap_us) // 1000), state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield _emit(closed)
+
+    wm = stream.withWatermark(ts, watermark)
+    return wm.groupBy(key).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _duration_ms(s: str) -> int:
+    """Parse '30 minutes' / '2 hours' / '45 seconds' to milliseconds."""
+    n, unit = s.split()
+    mult = {"second": 1000, "minute": 60_000, "hour": 3_600_000,
+            "day": 86_400_000}[unit.rstrip("s")]
+    return int(n) * mult

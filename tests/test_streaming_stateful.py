@@ -178,3 +178,94 @@ def test_stateful_dedup_generic_schema(spark, tmp_path):
     bad = spark.readStream.schema("x long, y string").parquet(in_dir)
     with pytest.raises(ValueError, match="must carry"):
         stateful_dedup_stream(bad, text="caption", key="img_id")
+
+
+def test_sessionize_stream_gap_and_timeout_close(spark, tmp_path):
+    """Streaming sessionization: the in-data gap closes session 1 in run 1;
+    a much-later unrelated key advances the watermark so run 3's batch
+    fires the EventTimeTimeout and flushes user 1's open session; user 2's
+    own session stays open (its timeout is ahead of the watermark)."""
+    from geo_epic_spark.streaming.stateful import sessionize_stream
+
+    in_dir = str(tmp_path / "sess")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir, exist_ok=True)
+    ts = dt.datetime.fromisoformat
+    schema = "user_id long, event_ts timestamp"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            sessionize_stream(stream, gap="30 minutes", watermark="10 minutes")
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    # run 1: user 1 -> session A (00:00, 00:05) closed by the 55-min gap to
+    # 01:00, which opens session B (stays in state, timeout 01:30)
+    _drop(spark, in_dir, [
+        (1, ts("2024-01-01 00:00:00")),
+        (1, ts("2024-01-01 00:05:00")),
+        (1, ts("2024-01-01 01:00:00")),
+    ], schema)
+    run_once()
+    # run 2: user 2 at 03:00 pushes the watermark to 02:50 (> 01:30) at
+    # batch END; run 3's batch start then fires user 1's timeout
+    _drop(spark, in_dir, [(2, ts("2024-01-01 03:00:00"))], schema)
+    run_once()
+    _drop(spark, in_dir, [], schema)  # empty drop -> one more batch
+    run_once()
+
+    rows = {
+        (r["user_id"], str(r["session_start"])): (str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert rows[(1, "2024-01-01 00:00:00")] == ("2024-01-01 00:05:00", 2)
+    assert rows[(1, "2024-01-01 01:00:00")] == ("2024-01-01 01:00:00", 1)
+    assert len(rows) == 2  # user 2's session still open -> not emitted
+
+
+def test_sessionize_stream_exact_gap_stays_in_session(spark, tmp_path):
+    """An event exactly gap after the previous one continues the session
+    (strict > boundary — same rule as the batch sessionizer), and a
+    cross-batch continuation merges with the open state."""
+    from geo_epic_spark.streaming.stateful import sessionize_stream
+
+    in_dir = str(tmp_path / "sess2")
+    ckpt = str(tmp_path / "ckpt2")
+    out_dir = str(tmp_path / "out2")
+    os.makedirs(in_dir, exist_ok=True)
+    ts = dt.datetime.fromisoformat
+    schema = "user_id long, event_ts timestamp"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            sessionize_stream(stream, gap="30 minutes", watermark="10 minutes")
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    _drop(spark, in_dir, [(5, ts("2024-01-01 00:00:00"))], schema)
+    run_once()
+    # exactly 30 min later, in a LATER batch: continues the open session
+    _drop(spark, in_dir, [(5, ts("2024-01-01 00:30:00"))], schema)
+    run_once()
+    # 31 min later: strict-greater gap -> closes (00:00-00:30, n=2)
+    _drop(spark, in_dir, [(5, ts("2024-01-01 01:01:00"))], schema)
+    run_once()
+
+    rows = [
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    assert rows == [(5, "2024-01-01 00:00:00", "2024-01-01 00:30:00", 2)]
