@@ -4073,6 +4073,35 @@ def _sql_image_quality() -> str:
     """
 
 
+def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (`shuffle_rows`, ranged method): the
+    training-order randomization step — rank under the reproducible
+    (hash, key) order via repartitionByRange + per-partition mapInPandas
+    rank + broadcast offsets (distributed prefix scan; no global
+    single-task sort). Input scattered across 16 unordered partitions so
+    the oracle (one global row_number) proves the two-phase rank
+    reconstructs the exact global permutation."""
+    from geo_epic_spark.operators.sampling import shuffle_rows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(16)
+    return shuffle_rows(docs, "doc_id", salt=7, method="ranged")
+
+
+def _sql_shuffle_rows() -> str:
+    return """
+    WITH h AS (
+      SELECT doc_id,
+             ((((doc_id % 1000003) + 7) * 2654435761) % 2147483647
+              * 48271) % 2147483647 AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT)
+             AS shuffle_pos
+    FROM h
+    """
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-perplexity quality scoring (`bigram_lm_score`): self-trained
     add-alpha bigram model, per-doc mean negative log-likelihood — the
@@ -4271,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_lm": q_bigram_lm,                  # CCNet-style LM perplexity
         "q_image_quality": q_image_quality,          # low-info image filter
         "q_stream_sessionize": q_stream_sessionize,  # stateful streaming sessions
+        "q_shuffle_rows": q_shuffle_rows,            # deterministic global shuffle
     }
 
 
@@ -4366,4 +4396,5 @@ def oracle_sql() -> dict[str, str]:
         "q_bigram_lm": _sql_bigram_lm(),
         "q_image_quality": _sql_image_quality(),
         "q_stream_sessionize": _sql_stream_sessionize(),
+        "q_shuffle_rows": _sql_shuffle_rows(),
     }

@@ -45,6 +45,7 @@ __all__ = [
     "sample_to_mix",
     "shard_by_token_budget",
     "pack_greedy",
+    "shuffle_rows",
 ]
 
 # two-round Lehmer mix; every intermediate fits signed 64-bit:
@@ -326,3 +327,85 @@ def sample_to_mix(
         .drop("__rk")
     )
     return prefix.unionByName(boundary)
+
+
+def shuffle_rows(
+    df: DataFrame,
+    key: str,
+    salt: int = 0,
+    method: str = "ranged",
+    out: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global shuffle — the training-order randomization step
+    of an LLM data pipeline. Every row gets a 0-based ``shuffle_pos``: its
+    rank under the reproducible ``(hash_unit(key, salt), key)`` order, so
+    the permutation is a pure function of (data, salt) — re-runs, retries
+    and different cluster sizes produce the SAME order, and a new epoch is
+    just a new ``salt``. (``DataFrame.orderBy(rand())`` gives neither.)
+
+    method='ranged' (default, the 100 TB path): repartitionByRange on the
+    hash spreads the permutation across partitions (one range Exchange —
+    the shuffle you are buying on purpose), each partition ranks locally in
+    one mapInPandas pass, and per-partition row counts (one tiny row per
+    partition) become broadcast rank offsets — the same distributed
+    prefix-scan as ``shard_by_token_budget(method='ranged')``. No global
+    single-task sort anywhere.
+
+    method='window': one global row_number window — a single-task sort;
+    correctness baseline and small-table path only.
+
+    Hash ties are broken by ``key`` (which must be unique), so the rank is
+    total even when the 31-bit hash collides — at 10^9 rows collisions are
+    certain, silent nondeterminism without the tiebreak.
+    """
+    u = hash_unit(F.col(key), salt)
+    if method == "window":
+        w = Window.orderBy(u.asc(), F.col(key).asc())
+        return df.withColumn(out, F.row_number().over(w).cast("long") - 1)
+    if method != "ranged":
+        raise ValueError(f"unknown method {method!r}")
+
+    hashed = df.withColumn("__u", u)
+    ranged = hashed.repartitionByRange(F.col("__u"), F.col(key)).sortWithinPartitions(
+        "__u", key
+    )
+    # pin the (sampled) range assignment: counts and the ranking scan are
+    # two actions and must see the same row->partition mapping
+    part = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
+    stats = {
+        r["__pid"]: (r["cnt"], r["lo_u"], r["lo_k"])
+        for r in part.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("__u").alias("lo_u"),
+            F.min(key).alias("lo_k"),
+        )
+        .collect()
+    }
+    order = sorted(stats, key=lambda p: (stats[p][1], stats[p][2], p))
+    offsets, acc = {}, 0
+    for p in order:
+        offsets[p] = acc
+        acc += int(stats[p][0])
+
+    boff = df.sparkSession.sparkContext.broadcast(offsets)
+    fields = [f for f in part.schema.fields if f.name not in ("__u", "__pid")]
+    out_schema = T.StructType(fields + [T.StructField(out, T.LongType())])
+    cols = [f.name for f in fields]
+
+    def local_rank(pdfs):
+        run = None  # running rank, carried ACROSS this partition's batches
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = boff.value[int(pdf["__pid"].iloc[0])]
+            res = pdf[cols].copy()
+            res[out] = range(run, run + len(pdf))
+            res[out] = res[out].astype("int64")
+            run += len(pdf)
+            yield res
+
+    return part.mapInPandas(local_rank, schema=out_schema)

@@ -212,3 +212,46 @@ def test_mix_absent_group_empty(spark, docs):
 def test_mix_weight_validation(spark, docs):
     with pytest.raises(ValueError):
         sample_to_mix(docs, "doc_id", "source", {"0": 0})
+
+
+def test_shuffle_ranged_matches_window_and_is_partition_invariant(spark, docs):
+    """The distributed-rank shuffle is bit-identical to the global window
+    rank, on a 16-partition scatter with Arrow batches far smaller than a
+    partition (rank must carry across the batch iterator), and the
+    permutation is identical from a different input partitioning."""
+    from geo_epic_spark.operators.sampling import shuffle_rows
+
+    scattered = docs.repartition(16)
+    w = shuffle_rows(scattered, "doc_id", salt=3, method="window")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+    try:
+        r = shuffle_rows(scattered, "doc_id", salt=3)
+        assert (
+            w.select("doc_id", "shuffle_pos")
+            .exceptAll(r.select("doc_id", "shuffle_pos"))
+            .count()
+            == 0
+        )
+        assert r.count() == 5000
+        r2 = shuffle_rows(docs.coalesce(1), "doc_id", salt=3)
+        assert (
+            r.select("doc_id", "shuffle_pos")
+            .exceptAll(r2.select("doc_id", "shuffle_pos"))
+            .count()
+            == 0
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_shuffle_is_a_permutation_and_salt_changes_order(spark, docs):
+    from geo_epic_spark.operators.sampling import shuffle_rows
+
+    r = shuffle_rows(docs, "doc_id", salt=0)
+    pos = [x["shuffle_pos"] for x in r.select("shuffle_pos").collect()]
+    assert sorted(pos) == list(range(5000))
+    # epoch reshuffle: a different salt is a different permutation
+    a = {x["doc_id"]: x["shuffle_pos"] for x in shuffle_rows(docs.limit(200), "doc_id", salt=0).collect()}
+    b = {x["doc_id"]: x["shuffle_pos"] for x in shuffle_rows(docs.limit(200), "doc_id", salt=1).collect()}
+    assert a != b
