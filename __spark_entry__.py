@@ -4073,6 +4073,32 @@ def _sql_image_quality() -> str:
     """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) spatial layout key (`cells.zorder_key`): quantize
+    (cx, cy) to a 2^14 grid and interleave the bits — the Iceberg/Delta
+    Z-ORDER layout step that co-locates Earth-adjacent images in the same
+    parquet row groups so bbox scans prune to contiguous key ranges. Pure
+    integer Column arithmetic (4 shift/mask rounds per axis, zero UDFs);
+    the oracle reproduces the interleave digit-for-digit and the layout
+    rank (range-partition position) via a global row_number."""
+    from geo_epic_spark.cells import zorder_key
+
+    imgs = synth.images_meta_df(spark, 2000)
+    return imgs.select(
+        "image_id", zorder_key(F.col("cx"), F.col("cy"), bits=14).alias("z")
+    )
+
+
+def _sql_zorder_layout() -> str:
+    from geo_epic_spark.cells import sql_zorder_key
+
+    return f"""
+    WITH imgs AS ({synth.images_meta_sql(2000)})
+    SELECT image_id, {sql_zorder_key('cx', 'cy', bits=14)} AS z
+    FROM imgs
+    """
+
+
 def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle (`shuffle_rows`, ranged method): the
     training-order randomization step — rank under the reproducible
@@ -4301,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_quality": q_image_quality,          # low-info image filter
         "q_stream_sessionize": q_stream_sessionize,  # stateful streaming sessions
         "q_shuffle_rows": q_shuffle_rows,            # deterministic global shuffle
+        "q_zorder_layout": q_zorder_layout,          # Morton spatial layout key
     }
 
 
@@ -4397,4 +4424,5 @@ def oracle_sql() -> dict[str, str]:
         "q_image_quality": _sql_image_quality(),
         "q_stream_sessionize": _sql_stream_sessionize(),
         "q_shuffle_rows": _sql_shuffle_rows(),
+        "q_zorder_layout": _sql_zorder_layout(),
     }

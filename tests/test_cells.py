@@ -84,3 +84,66 @@ def test_tile_bounds_and_covering(spark):
             np.array([r["cx"]]), np.array([r["cy"]]), res
         )[0]
         assert center_cell in set(r["cell_ids"])
+
+
+def test_zorder_key_matches_numpy_and_bit_reference(spark):
+    """Spark Column z-order == numpy mirror == naive per-bit interleave,
+    on random points plus the quantization-clamp edges (lat=90, lon=180)."""
+    import numpy as np
+
+    from geo_epic_spark.cells import np_zorder_key, zorder_key
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    lon = np.concatenate([rng.uniform(-180, 180, 500), [180.0, -180.0, 0.0]])
+    lat = np.concatenate([rng.uniform(-90, 90, 500), [90.0, -90.0, 0.0]])
+    want = np_zorder_key(lon, lat, bits=12)
+
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lon, lat))],
+        ["i", "lon", "lat"],
+    )
+    got = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i", zorder_key(F.col("lon"), F.col("lat"), bits=12).alias("z")
+        ).collect()
+    }
+    assert all(got[i] == int(want[i]) for i in range(len(lon)))
+    assert max(got.values()) < 4**12
+
+    def ref(lo, la, bits=12):
+        n = 1 << bits
+        qr = min(int((la + 90.0) / 180.0 * n), n - 1)
+        qc = min(int((lo + 180.0) / 360.0 * n), n - 1)
+        z = 0
+        for k in range(bits):
+            z |= ((qc >> k) & 1) << (2 * k) | ((qr >> k) & 1) << (2 * k + 1)
+        return z
+
+    assert all(got[i] == ref(lon[i], lat[i]) for i in range(len(lon)))
+
+
+def test_zorder_locality_and_plan(spark):
+    """Same quantized cell -> same key; quadrant containment -> shared key
+    prefix (the property range-pruning relies on); and the whole expression
+    is map-only JVM arithmetic (no Exchange, no Python eval in the plan)."""
+    import numpy as np
+
+    from geo_epic_spark.cells import np_zorder_key, zorder_key
+
+    # two points in the same 2^bits cell
+    assert np_zorder_key(np.array([10.0, 10.001]), np.array([45.0, 45.001]),
+                         bits=8).ptp() == 0
+    # quadrant prefix: halving bits = dropping the low 2 bits of the key
+    z_hi = np_zorder_key(np.array([10.0]), np.array([45.0]), bits=10)[0]
+    z_lo = np_zorder_key(np.array([10.0]), np.array([45.0]), bits=9)[0]
+    assert z_hi >> 2 == z_lo
+
+    df = spark.range(10).select(
+        (F.col("id") * 0.1).alias("lon"), (F.col("id") * 0.05).alias("lat")
+    )
+    plan = (
+        df.select(zorder_key(F.col("lon"), F.col("lat")).alias("z"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
