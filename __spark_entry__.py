@@ -4073,6 +4073,40 @@ def _sql_image_quality() -> str:
     """
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (`split_assign`): half-open
+    hash-unit bands in fraction order — stable under re-runs, retries,
+    repartitioning and corpus growth (randomSplit is none of these).
+    Map-only, zero shuffle; the oracle reproduces the hash and band edges
+    digit-for-digit."""
+    from geo_epic_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=11
+    )
+
+
+def _sql_split_assign() -> str:
+    # band edges accumulate in FLOAT on the Spark side (0.8 + 0.1 =
+    # 0.9000000000000001); reproduce the exact accumulated doubles, not the
+    # pretty decimals, or a u in the 1-ulp sliver flips split
+    e1, e2 = 0.8, 0.8 + 0.1
+    return f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             (((((doc_id % 1000003) + 11) * 2654435761) % 2147483647
+              * 48271) % 2147483647) / 2147483647.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN u < {e1!r} THEN 'train'
+                WHEN u < {e2!r} THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) spatial layout key (`cells.zorder_key`): quantize
     (cx, cy) to a 2^14 grid and interleave the bits — the Iceberg/Delta
@@ -4328,6 +4362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sessionize": q_stream_sessionize,  # stateful streaming sessions
         "q_shuffle_rows": q_shuffle_rows,            # deterministic global shuffle
         "q_zorder_layout": q_zorder_layout,          # Morton spatial layout key
+        "q_split_assign": q_split_assign,            # train/val/test hash bands
     }
 
 
@@ -4425,4 +4460,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_sessionize": _sql_stream_sessionize(),
         "q_shuffle_rows": _sql_shuffle_rows(),
         "q_zorder_layout": _sql_zorder_layout(),
+        "q_split_assign": _sql_split_assign(),
     }

@@ -46,6 +46,7 @@ __all__ = [
     "shard_by_token_budget",
     "pack_greedy",
     "shuffle_rows",
+    "split_assign",
 ]
 
 # two-round Lehmer mix; every intermediate fits signed 64-bit:
@@ -409,3 +410,34 @@ def shuffle_rows(
             yield res
 
     return part.mapInPandas(local_rank, schema=out_schema)
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    salt: int = 0,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: partition [0, 1) into
+    half-open bands in ``fractions`` insertion order and label each row by
+    where ``hash_unit(key, salt)`` falls. A pure function of (key, salt) —
+    the SAME row lands in the same split across re-runs, retries, cluster
+    sizes and growing corpora (a new row never flips an old row's split,
+    which `randomSplit` cannot promise). Fractions must sum to 1 (±1e-9)
+    so every row is labeled. Map-only — zero shuffle at any scale."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    u = hash_unit(F.col(key), salt)
+    expr, acc = None, 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(items[-1][0])
+    label = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out, label)

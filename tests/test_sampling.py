@@ -255,3 +255,26 @@ def test_shuffle_is_a_permutation_and_salt_changes_order(spark, docs):
     a = {x["doc_id"]: x["shuffle_pos"] for x in shuffle_rows(docs.limit(200), "doc_id", salt=0).collect()}
     b = {x["doc_id"]: x["shuffle_pos"] for x in shuffle_rows(docs.limit(200), "doc_id", salt=1).collect()}
     assert a != b
+
+
+def test_split_assign_deterministic_bands_and_stability(spark, docs):
+    """Every row labeled; bands hit their expected sizes within tolerance;
+    the assignment is identical across partitionings AND unchanged for old
+    rows when the corpus grows (the property randomSplit lacks)."""
+    from geo_epic_spark.operators.sampling import split_assign
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in split_assign(docs, "doc_id", fr).collect()}
+    assert len(a) == 5000 and set(a.values()) == {"train", "val", "test"}
+    counts = {s: sum(1 for v in a.values() if v == s) for s in fr}
+    assert abs(counts["train"] - 4000) < 300
+    b = {r["doc_id"]: r["split"]
+         for r in split_assign(docs.repartition(16), "doc_id", fr).collect()}
+    assert a == b
+    # growing corpus: first 1000 rows keep their labels
+    small = {r["doc_id"]: r["split"]
+             for r in split_assign(docs.filter(F.col("doc_id") < 1000), "doc_id", fr).collect()}
+    assert all(a[k] == v for k, v in small.items())
+    import pytest
+    with pytest.raises(ValueError):
+        split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1})
