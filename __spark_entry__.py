@@ -3928,6 +3928,87 @@ def _sql_boilerplate() -> str:
     """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (`remove_duplicate_spans`, Lee et al. 2021):
+    every 6-token span occurring >= 2 times in the corpus is cut from every
+    document carrying it and the survivors reassembled in order. The corpus
+    plants two repeated passages on the synthetic single-line docs — a
+    6-token header for doc_id % 5 == 0 and a 10-token license tail for
+    doc_id % 3 == 0 — so removal must hit full-span, multi-gram-overlap and
+    leave straddle grams (header/body, body/license boundaries, unique per
+    doc) alone. The engine counts grams by 64-bit hash (8-byte shuffle
+    rows); the oracle counts the gram STRINGS — a hash match therefore also
+    certifies the corpus saw no hash collisions."""
+    from geo_epic_spark.operators.text import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 5 == 0, F.lit(_SPAN_HDR + " ")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(did % 3 == 0, F.lit(" " + _SPAN_LIC)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_duplicate_spans(corpus, key="doc_id", k=6, min_count=2).select(
+        "doc_id", "clean_text", "n_tokens", "n_removed"
+    )
+
+
+_SPAN_HDR = "standard corpus chrome banner preamble blurb"          # 6 tokens
+_SPAN_LIC = (
+    "licensed under apache two point zero see notice distribution file"
+)                                                                   # 10 tokens
+
+
+def _sql_dedup_spans() -> str:
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '{_SPAN_HDR} ' ELSE '' END
+             || text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' {_SPAN_LIC}' ELSE '' END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM corpus),
+    gpos AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t) - 6 + 2, 1))) AS pos
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, pos, array_to_string(t[pos:pos+5], ' ') AS g FROM gpos
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT gr.doc_id, gr.pos + r.range AS tp
+      FROM grams gr, range(0, 6) r
+      WHERE gr.g IN (SELECT g FROM dup)
+    ),
+    tokens AS (
+      SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS tp
+      FROM toks
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.tp, tk.w
+      FROM tokens tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tp = cov.tp
+      WHERE cov.doc_id IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY tp) AS clean_text,
+             count(*) AS nk
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT tot.doc_id AS doc_id,
+           coalesce(reb.clean_text, '') AS clean_text,
+           tot.n_tokens AS n_tokens,
+           tot.n_tokens - coalesce(reb.nk, 0) AS n_removed
+    FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+    """
+
+
 def q_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact domain-mix downsampling (`sample_to_mix`): blend sources to
     integer parts 5:3:2 — group g keeps exactly w_g * n_units rows, the
@@ -4363,6 +4444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shuffle_rows": q_shuffle_rows,            # deterministic global shuffle
         "q_zorder_layout": q_zorder_layout,          # Morton spatial layout key
         "q_split_assign": q_split_assign,            # train/val/test hash bands
+        "q_dedup_spans": q_dedup_spans,              # passage-level span dedup
     }
 
 
@@ -4461,4 +4543,5 @@ def oracle_sql() -> dict[str, str]:
         "q_shuffle_rows": _sql_shuffle_rows(),
         "q_zorder_layout": _sql_zorder_layout(),
         "q_split_assign": _sql_split_assign(),
+        "q_dedup_spans": _sql_dedup_spans(),
     }

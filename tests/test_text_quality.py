@@ -405,3 +405,50 @@ def test_bigram_lm_unseen_grams_get_smoothed_floor(spark):
     # unseen bigram AND unseen context: p = alpha / (0 + alpha*V), V=2
     assert out["n_bigrams"] == 1
     assert abs(out["avg_nll"] - round(-math.log(0.5 / 1.0), 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans (passage-level exact dedup, Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_cut_and_reassembled(spark):
+    from geo_epic_spark.operators.text import remove_duplicate_spans
+
+    rows = [
+        (1, "a b c X Y Z W d e"),   # shares 4-token span with doc 2
+        (2, "p q X Y Z W r s t"),
+        (3, "m n o"),               # exactly k tokens, unique -> untouched
+        (4, "SAME SAME2 SAME3"),    # full duplicate of doc 5 -> emptied
+        (5, "SAME SAME2 SAME3"),
+        (6, "u v"),                 # shorter than k -> no grams, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in remove_duplicate_spans(df, key="doc_id", k=3).collect()}
+    assert got[1] == ("a b c d e", 9, 4)
+    assert got[2] == ("p q r s t", 9, 4)
+    assert got[3] == ("m n o", 3, 0)
+    assert got[4] == ("", 3, 3)
+    assert got[5] == ("", 3, 3)
+    assert got[6] == ("u v", 2, 0)
+    assert len(got) == 6
+
+
+def test_duplicate_spans_within_one_doc(spark):
+    """min_count counts ALL occurrences, including repeats inside one doc."""
+    from geo_epic_spark.operators.text import remove_duplicate_spans
+
+    df = spark.createDataFrame([(1, "R S T x R S T")], "doc_id long, text string")
+    got = remove_duplicate_spans(df, key="doc_id", k=3).collect()[0]
+    assert (got["clean_text"], got["n_tokens"], got["n_removed"]) == ("x", 7, 6)
+
+
+def test_duplicate_spans_md5_hash_parity(spark):
+    from geo_epic_spark.operators.text import remove_duplicate_spans
+
+    rows = [(i, f"alpha beta gamma delta tail{i % 3} end{i}") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(remove_duplicate_spans(df, key="doc_id", k=4).collect())
+    b = sorted(remove_duplicate_spans(df, key="doc_id", k=4, gram_hash="md5_60").collect())
+    assert a == b
+    assert all(r["n_removed"] > 0 for r in a)  # the 4-token prefix repeats 9x
