@@ -4292,6 +4292,62 @@ def _sql_bigram_lm() -> str:
     """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style text normalization (`normalize_text`): mojibake
+    repair (UTF-8-as-cp1252 sequences), curly-quote/dash/ellipsis folding,
+    zero-width + control stripping, whitespace collapse — all JVM
+    replace/regexp_replace Columns, map-only, zero shuffle. The fixture
+    plants each damage class deterministically by doc_id band; the oracle
+    SQL is GENERATED from the same NORMALIZE_STEPS table
+    (`sql_norm_expr`), so engine/oracle parity holds by construction."""
+    from geo_epic_spark.operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(" itâ€™s â€œmojibakeâ€ â€” naÃ¯ve cafÃ©â€¦")
+                   ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 1,
+                   F.lit(" curly ‘x’ “y” – z…")
+                   ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 2,
+                   F.concat(F.lit("  messy "), F.lit("\t"),
+                            F.lit(" spaced​  "))
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return normalize_text(d)
+
+
+def _sql_normalize_text() -> str:
+    from geo_epic_spark.operators.text import sql_norm_expr
+
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             substr(text, 1, 60)
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' itâ€™s â€œmojibakeâ€ â€” naÃ¯ve cafÃ©â€¦'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 1
+                     THEN ' curly ‘x’ “y” – z…'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 2
+                     THEN '  messy ' || chr(9) || ' spaced​  '
+                     ELSE '' END AS text
+      FROM documents
+    ),
+    normed AS (
+      SELECT doc_id, text, {sql_norm_expr('text')} AS norm_text FROM planted
+    )
+    SELECT doc_id, norm_text,
+           CAST(CASE WHEN text <> norm_text THEN 1 ELSE 0 END AS INTEGER) AS changed
+    FROM normed
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4445,6 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_layout": q_zorder_layout,          # Morton spatial layout key
         "q_split_assign": q_split_assign,            # train/val/test hash bands
         "q_dedup_spans": q_dedup_spans,              # passage-level span dedup
+        "q_normalize_text": q_normalize_text,        # mojibake/unicode cleanup
     }
 
 
@@ -4544,4 +4601,5 @@ def oracle_sql() -> dict[str, str]:
         "q_zorder_layout": _sql_zorder_layout(),
         "q_split_assign": _sql_split_assign(),
         "q_dedup_spans": _sql_dedup_spans(),
+        "q_normalize_text": _sql_normalize_text(),
     }

@@ -647,3 +647,106 @@ def remove_duplicate_spans(
             (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization / mojibake repair (C4 / CCNet-style cleanup)
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement, is_regex) applied IN ORDER. This ONE table drives
+# both the Spark Column chain (`norm_expr`) and the DuckDB SQL mirror
+# (`sql_norm_expr`) — engine/oracle parity holds by construction, the same
+# pattern as cells.sql_zorder_key. Order matters: multi-char mojibake
+# sequences first (they contain 'â'/'Ã' lead bytes), then
+# single-char unicode punctuation, then zero-width/control strips,
+# whitespace last. Regex steps use only syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): literal chars inside classes and
+# \xHH ranges. NOTE: \s differs between the engines on \x0B — safe here
+# only because the control-strip step removes \x0B/\x0C first (keep that
+# ordering).
+NORMALIZE_STEPS: list[tuple[str, str, bool]] = [
+    # mojibake: UTF-8 bytes mis-decoded as cp1252/latin-1
+    # ("’" -> b"\xe2\x80\x99" -> "â€™", etc.)
+    ("â€™", "'", False),    # ’
+    ("â€˜", "'", False),    # ‘
+    ("â€œ", '"', False),    # “
+    ("â€", '"', False),    # ” (0x9D unmapped in cp1252)
+    ("â€“", "-", False),    # –
+    ("â€”", "-", False),    # —
+    ("â€¦", "...", False),  # …
+    ("Ã©", "é", False),     # é
+    ("Ã¨", "è", False),     # è
+    ("Ã¡", "á", False),     # á
+    ("Ã³", "ó", False),     # ó
+    ("Ã±", "ñ", False),     # ñ
+    ("Ã¼", "ü", False),     # ü
+    ("Ã¶", "ö", False),     # ö
+    ("Ã¤", "ä", False),     # ä
+    ("Ã§", "ç", False),     # ç
+    ("Ã¯", "ï", False),     # ï
+    ("Â ", " ", False),          # Â + NBSP artifact
+    ("Â°", "°", False),     # Â° -> °
+    # unicode punctuation -> ASCII
+    ("’", "'", False),
+    ("‘", "'", False),
+    ("“", '"', False),
+    ("”", '"', False),
+    ("–", "-", False),
+    ("—", "-", False),
+    ("…", "...", False),
+    (" ", " ", False),
+    # zero-width + BOM (literal chars in the class: identical in both engines)
+    ("[​‌‍﻿]", "", True),
+    # C0/C1 control chars; keeps \t \n \r for the whitespace collapse
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", True),
+    # whitespace collapse (post-control-strip: only space/\t/\n/\r remain,
+    # on which Java and RE2 \s agree)
+    (r"\s+", " ", True),
+]
+
+
+def norm_expr(text: Column, lowercase: bool = False) -> Column:
+    """Normalization chain as a pure Column expression (map-only, zero
+    shuffle, whole-stage codegen — replace/regexp_replace are JVM
+    built-ins)."""
+    c = text
+    for pat, rep, is_re in NORMALIZE_STEPS:
+        c = F.regexp_replace(c, pat, rep) if is_re else F.replace(c, F.lit(pat), F.lit(rep))
+    c = F.trim(c)
+    return F.lower(c) if lowercase else c
+
+
+def sql_norm_expr(expr: str, lowercase: bool = False) -> str:
+    """DuckDB mirror of `norm_expr`, generated from the SAME step table."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    e = expr
+    for pat, rep, is_re in NORMALIZE_STEPS:
+        if is_re:
+            e = f"regexp_replace({e}, {q(pat)}, {q(rep)}, 'g')"
+        else:
+            e = f"replace({e}, {q(pat)}, {q(rep)})"
+    e = f"trim({e})"
+    return f"lower({e})" if lowercase else e
+
+
+def normalize_text(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    lowercase: bool = False,
+) -> DataFrame:
+    """C4/CCNet-style text cleanup (public methodology; ftfy-lite): repair
+    the common UTF-8-as-cp1252 mojibake sequences, fold curly quotes /
+    dashes / ellipses to ASCII, drop zero-width and control characters,
+    collapse whitespace. Map-only — at 100 TB this runs inside the scan
+    stage with zero shuffle. Output: (key, norm_text, changed:int)."""
+    c = F.col(text)
+    n = norm_expr(c, lowercase=lowercase)
+    return df.select(
+        key,
+        n.alias("norm_text"),
+        (c != n).cast("int").alias("changed"),
+    )

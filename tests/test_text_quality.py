@@ -452,3 +452,65 @@ def test_duplicate_spans_md5_hash_parity(spark):
     b = sorted(remove_duplicate_spans(df, key="doc_id", k=4, gram_hash="md5_60").collect())
     assert a == b
     assert all(r["n_removed"] > 0 for r in a)  # the 4-token prefix repeats 9x
+
+
+# ---------------------------------------------------------------------------
+# normalize_text (mojibake repair + unicode cleanup)
+# ---------------------------------------------------------------------------
+
+def test_normalize_text_repairs_and_flags(spark):
+    from geo_epic_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Itâ€™s a â€œtestâ€"
+            " â€” fineâ€¦"
+            " naÃ¯ve cafÃ©"),
+        (2, "curly ‘quotes’ “both” – dash…"
+            " nb sp"),
+        (3, "zero​width﻿ and \x07control\x1fchars"),
+        (4, "  lots   of\t\twhitespace \n\n here  "),
+        (5, "already clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["norm_text"], r["changed"])
+           for r in normalize_text(df).collect()}
+    assert got[1] == ("It's a \"test\" - fine... naïve café", 1)
+    assert got[2] == ("curly 'quotes' \"both\" - dash... nb sp", 1)
+    assert got[3] == ("zerowidth and controlchars", 1)
+    assert got[4] == ("lots of whitespace here", 1)
+    assert got[5] == ("already clean text", 0)
+
+
+def test_normalize_text_idempotent_and_duckdb_parity(spark):
+    """Second pass is a no-op, and the generated DuckDB mirror produces the
+    identical string for every fixture row (the oracle-parity guarantee)."""
+    import duckdb
+    from geo_epic_spark.operators.text import normalize_text, sql_norm_expr
+
+    rows = [
+        (1, "aâ€™b “c” – d…"),
+        (2, "  x   y​ z  "),
+        (3, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = normalize_text(df)
+    twice = normalize_text(once, text="norm_text")
+    a = {r["doc_id"]: r["norm_text"] for r in once.collect()}
+    b = {r["doc_id"]: (r["norm_text"], r["changed"]) for r in twice.collect()}
+    for i in a:
+        assert b[i] == (a[i], 0)
+
+    con = duckdb.connect()
+    for i, t in rows:
+        want = con.execute("SELECT " + sql_norm_expr("?"), [t]).fetchone()[0]
+        assert a[i] == want, (i, a[i], want)
+
+
+def test_normalize_text_lowercase_option(spark):
+    from geo_epic_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "MiXeD “Case”")], "doc_id long, text string"
+    )
+    got = normalize_text(df, lowercase=True).collect()[0]
+    assert got["norm_text"] == 'mixed "case"'
