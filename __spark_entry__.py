@@ -4348,6 +4348,64 @@ def _sql_normalize_text() -> str:
     """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (`web.url_dedup`): canonicalize crawl URLs
+    (scheme/host case, `www.`, default port, fragment, tracking params,
+    param sort, trailing slash) and keep the smallest doc_id per canonical
+    URL. The fixture plants five variant classes by doc_id band that
+    collapse onto shared canonical URLs; the oracle's canonicalization is
+    GENERATED from the same regex constants (`sql_canon_url_expr`), so
+    engine/oracle parity holds by construction. Plan: map-only
+    canonicalization fused into the scan + one hash-agg exchange on the
+    canonical key (pinned in test_web)."""
+    from geo_epic_spark.operators.web import url_dedup
+
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".com"))
+    path = F.concat(F.lit("/p/"), (F.col("doc_id") % 50).cast("string"))
+    v = (F.col("doc_id") % 5).cast("int")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(v == 0, F.concat(F.lit("https://www."), host, path,
+                                F.lit("/?utm_source=x&b=2&a=1#frag")))
+         .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
+                                F.lit(":443"), path))
+         .when(v == 2, F.concat(F.lit("https://"), host, path, F.lit("/")))
+         .when(v == 3, F.concat(F.lit("https://"), host, path,
+                                F.lit("?b=2&a=1&fbclid=zz")))
+         .otherwise(F.concat(F.lit("https://"), host, path,
+                             F.lit("?a=1&b=2")))
+         .alias("url"),
+    )
+    return url_dedup(d)
+
+
+def _sql_url_dedup() -> str:
+    from geo_epic_spark.operators.web import sql_canon_url_expr
+
+    host = "'site' || CAST(doc_id % 7 AS VARCHAR) || '.com'"
+    path = "'/p/' || CAST(doc_id % 50 AS VARCHAR)"
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN 'https://www.' || {host} || {path}
+                           || '/?utm_source=x&b=2&a=1#frag'
+               WHEN 1 THEN 'HTTPS://' || upper({host}) || ':443' || {path}
+               WHEN 2 THEN 'https://' || {host} || {path} || '/'
+               WHEN 3 THEN 'https://' || {host} || {path} || '?b=2&a=1&fbclid=zz'
+               ELSE 'https://' || {host} || {path} || '?a=1&b=2'
+             END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, {sql_canon_url_expr('url')} AS canon_url FROM planted
+    )
+    SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_urls
+    FROM canon GROUP BY canon_url
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4502,6 +4560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,            # train/val/test hash bands
         "q_dedup_spans": q_dedup_spans,              # passage-level span dedup
         "q_normalize_text": q_normalize_text,        # mojibake/unicode cleanup
+        "q_url_dedup": q_url_dedup,                  # URL canonicalization dedup
     }
 
 
@@ -4602,4 +4661,5 @@ def oracle_sql() -> dict[str, str]:
         "q_split_assign": _sql_split_assign(),
         "q_dedup_spans": _sql_dedup_spans(),
         "q_normalize_text": _sql_normalize_text(),
+        "q_url_dedup": _sql_url_dedup(),
     }

@@ -1,0 +1,126 @@
+"""URL canonicalization + URL-level dedup for web-crawl training data.
+
+CCNet/RefinedWeb-style pipelines dedup at the URL level before any content
+pass — a canonical URL key collapses the scheme/host-case, `www.` prefix,
+default-port, fragment, tracking-parameter and trailing-slash variants that
+crawlers record for the same page. Everything here is a pure Column
+expression over JVM regexp built-ins (map-only, zero shuffle for the
+canonicalization; one count-distinct-shaped shuffle on the canonical key for
+the dedup), and every step has a DuckDB mirror generated from the SAME
+constants so engine/oracle parity holds by construction (the
+`text.NORMALIZE_STEPS` pattern).
+
+Reference analog: geo-epic fetches remote resources by URL but never
+canonicalizes (`geoEpic/weather/download_daily.py` passes URLs through
+verbatim); this operator is part of the LLM-data-pipeline axis of the brief,
+methodology per CCNet (Wenzek et al. 2020) and RefinedWeb (Penedo et al.
+2023), public papers.
+
+Scope limits (documented, not silent): no userinfo (`user:pass@host`)
+handling, no IDN/punycode folding, no percent-encoding normalization —
+each would need a real URL parser UDF; the regex subset below covers the
+variant classes that dominate crawl duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tracking parameters dropped from query strings (lowercase; matched
+# case-insensitively). ONE list drives both engines.
+TRACKING_PARAMS = ["utm_[a-z0-9_]*", "fbclid", "gclid", "msclkid",
+                   "mc_cid", "mc_eid", "ref", "igshid"]
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+# one regex per part, applied to the URL with the fragment already stripped
+_HOST_RE = _SCHEME_RE + r"([^/?#]*)"
+_PATH_RE = _SCHEME_RE + r"[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+_TRACK_RE = "^(?i)(" + "|".join(TRACKING_PARAMS) + ")="
+
+
+def canon_url_expr(url: Column) -> Column:
+    """Canonical form of ``url`` as a pure Column expression.
+
+    Steps: drop fragment; lowercase scheme and host; strip one leading
+    ``www.``; strip the scheme's default port (:80 http, :443 https);
+    strip trailing ``/`` from the path; drop tracking params, drop empty
+    params, sort the rest lexicographically. Rows that don't look like
+    ``scheme://…`` pass through trimmed (a later filter can drop them).
+    """
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")  # fragment first
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(u, _HOST_RE, 2))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")) \
+            .when(scheme == "https", F.regexp_replace(host, ":443$", "")) \
+            .otherwise(host)
+    path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 2), r"/+$", "")
+    params = F.split(F.regexp_extract(u, _QUERY_RE, 1), "&")
+    params = F.array_sort(
+        F.filter(params, lambda p: (p != "") & ~p.rlike(_TRACK_RE))
+    )
+    query = F.array_join(params, "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", F.trim(url)).otherwise(canon)
+
+
+def sql_canon_url_expr(expr: str) -> str:
+    """DuckDB mirror of ``canon_url_expr`` — generated from the SAME
+    regex constants. DuckDB caveats honored: ``regexp_extract(s, pat, n)``
+    has identical group semantics; list lambdas use ``x -> …``;
+    ``list_sort`` default is lexicographic ASC like ``array_sort``."""
+    u = f"regexp_replace(trim({expr}), '#.*$', '', 'g')"
+    scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
+    host0 = f"regexp_replace(lower(regexp_extract({u}, '{_HOST_RE}', 2)), '^www\\.', '')"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host0}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host0}, ':443$', '') "
+        f"ELSE {host0} END"
+    )
+    path = f"regexp_replace(regexp_extract({u}, '{_PATH_RE}', 2), '/+$', '')"
+    track = _TRACK_RE.replace("'", "''")
+    params = (
+        f"list_sort(list_filter(string_split(regexp_extract({u}, '{_QUERY_RE}', 1), '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{track}')))"
+    )
+    query = f"array_to_string({params}, '&')"
+    canon = (
+        f"({scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {query} <> '' THEN '?' || {query} ELSE '' END)"
+    )
+    return f"CASE WHEN {scheme} = '' THEN trim({expr}) ELSE {canon} END"
+
+
+def canonicalize_urls(
+    df: DataFrame, url: str = "url", key: str = "doc_id"
+) -> DataFrame:
+    """(key, url) → (key, canon_url). Map-only; at 100 TB this fuses into
+    the scan stage with zero shuffle."""
+    return df.select(key, canon_url_expr(F.col(url)).alias("canon_url"))
+
+
+def url_dedup(
+    df: DataFrame, url: str = "url", key: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup: canonicalize, then keep the smallest ``key`` per
+    canonical URL (deterministic survivor, the exact-dedup convention).
+
+    Output: (canon_url, keep_id, n_urls). One hash-aggregate shuffle on
+    the canonical-URL key — partial aggregation halves the shuffle volume
+    map-side, and the key is a near-uniform string hash, so no skew
+    handling is needed (a pathological single hot URL still fits one
+    reducer: the payload per group is two longs).
+    """
+    return (
+        canonicalize_urls(df, url=url, key=key)
+        .groupBy("canon_url")
+        .agg(
+            F.min(key).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+    )
