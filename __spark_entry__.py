@@ -4406,6 +4406,33 @@ def _sql_url_dedup() -> str:
     """
 
 
+_BM25_QUERIES = [
+    ("q1", "spark window agg"),
+    ("q2", "hash join merge sort"),
+    ("q3", "customer query filter"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-k (`search.bm25_topk`): rank the documents table
+    against three probe queries, top-10 each. The corpus-side plan is one
+    broadcast term-prune + one (doc, term) hash aggregate — no
+    corpus⋈corpus join (pinned in test_search); the oracle reproduces the
+    full formula (idf, length normalization, round-then-rank tie-break)
+    in SQL."""
+    from geo_epic_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "q_id string, q_text string")
+    return bm25_topk(docs, q, k=10)
+
+
+def _sql_bm25_topk() -> str:
+    from geo_epic_spark.operators.search import sql_bm25_topk
+
+    return sql_bm25_topk(_BM25_QUERIES, k=10)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4561,6 +4588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_spans": q_dedup_spans,              # passage-level span dedup
         "q_normalize_text": q_normalize_text,        # mojibake/unicode cleanup
         "q_url_dedup": q_url_dedup,                  # URL canonicalization dedup
+        "q_bm25_topk": q_bm25_topk,                  # BM25 lexical retrieval
     }
 
 
@@ -4662,4 +4690,5 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_spans": _sql_dedup_spans(),
         "q_normalize_text": _sql_normalize_text(),
         "q_url_dedup": _sql_url_dedup(),
+        "q_bm25_topk": _sql_bm25_topk(),
     }
