@@ -4433,6 +4433,63 @@ def _sql_bm25_topk() -> str:
     return sql_bm25_topk(_BM25_QUERIES, k=10)
 
 
+def q_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace polygon metrics (`spatial.polygon_stats`): area / signed
+    area / perimeter / centroid over the CSB field-polygon vertex arrays —
+    pure Column higher-order functions, map-only, zero shuffle (plan
+    pinned in test_spatial). The oracle re-derives every metric from the
+    generated `sql_polygon_stats` expressions with the identical left-fold
+    summation order (bit-for-bit before the round)."""
+    from geo_epic_spark.operators.spatial import polygon_stats
+
+    flds = synth.fields_df(spark, 300).select("poly_id", "xs", "ys")
+    out = polygon_stats(flds).select(
+        "poly_id", "area", "signed_area", "perimeter", "cx", "cy"
+    )
+    return _r6(out, ["area", "signed_area", "perimeter", "cx", "cy"])
+
+
+def _sql_polygon_stats() -> str:
+    from geo_epic_spark.operators.spatial import sql_polygon_stats
+
+    ex = sql_polygon_stats()
+    return f"""
+    WITH corners AS ({synth.fields_sql(300)}),
+    polys AS (
+      SELECT poly_id, [x0, x1, x1, x0] AS xs, [y0, y0, y1, y1] AS ys
+      FROM corners
+    )
+    SELECT poly_id,
+           ROUND({ex['area']}, 6) AS area,
+           ROUND({ex['signed_area']}, 6) AS signed_area,
+           ROUND({ex['perimeter']}, 6) AS perimeter,
+           ROUND({ex['cx']}, 6) AS cx,
+           ROUND({ex['cy']}, 6) AS cy
+    FROM polys
+    """
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution cell pyramid (`spatial.cell_rollup`): image counts
+    per lattice cell at 4 resolutions (0.05·2^l) in ONE scan — map-side
+    level fan-out, one (level, cell) hash aggregate (single-Exchange plan
+    pinned in test_spatial). The hypertable-rollup pattern over the
+    H3/S2-style index."""
+    from geo_epic_spark.operators.spatial import cell_rollup
+
+    pts = synth.images_meta_df(spark, 5000).select(
+        F.col("cx").alias("lon"), F.col("cy").alias("lat")
+    )
+    return cell_rollup(pts, res=0.05, levels=4)
+
+
+def _sql_cell_rollup() -> str:
+    from geo_epic_spark.operators.spatial import sql_cell_rollup
+
+    pts = f"SELECT cx AS lon, cy AS lat FROM ({synth.images_meta_sql(5000)})"
+    return sql_cell_rollup(pts, res=0.05, levels=4)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4589,6 +4646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_text": q_normalize_text,        # mojibake/unicode cleanup
         "q_url_dedup": q_url_dedup,                  # URL canonicalization dedup
         "q_bm25_topk": q_bm25_topk,                  # BM25 lexical retrieval
+        "q_polygon_stats": q_polygon_stats,          # shoelace area/centroid
+        "q_cell_rollup": q_cell_rollup,              # multi-res cell pyramid
     }
 
 
@@ -4691,4 +4750,6 @@ def oracle_sql() -> dict[str, str]:
         "q_normalize_text": _sql_normalize_text(),
         "q_url_dedup": _sql_url_dedup(),
         "q_bm25_topk": _sql_bm25_topk(),
+        "q_polygon_stats": _sql_polygon_stats(),
+        "q_cell_rollup": _sql_cell_rollup(),
     }

@@ -560,3 +560,157 @@ def vectorize(
     if value is not None:
         aggs.append(F.avg(value).alias(f"{value}_mean"))
     return raster.groupBy(zone).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Polygon geometry metrics (shoelace) + multi-resolution cell rollup
+# ---------------------------------------------------------------------------
+
+def polygon_stats(
+    polys: DataFrame,
+    xs: str = "xs",
+    ys: str = "ys",
+) -> DataFrame:
+    """Per-polygon shoelace metrics — signed area, |area|, perimeter,
+    centroid — as pure Column higher-order functions over the vertex
+    arrays (map-only, zero shuffle, no UDF; the geopandas `.area` /
+    `.centroid` analog of the reference's CSB handling,
+    `utils/crop_csb.py:65-78`, in planar degree units like the
+    reference's own lat/lon rasters).
+
+    Shoelace with wraparound: 2A = Σ (x_i·y_{i+1} − x_{i+1}·y_i);
+    centroid_x = Σ (x_i + x_{i+1})·cross_i / (3·2A) (Bourke's formula).
+    Degenerate (zero-area) polygons get NULL centroids rather than NaN.
+    Appends: area (|·|), signed_area, perimeter, cx, cy.
+    """
+    x, y = F.col(xs), F.col(ys)
+    n = F.size(x)
+    idx = F.sequence(F.lit(0), n - F.lit(1))
+
+    def at(arr, i):  # 0-based helper over Spark's 1-based element_at
+        return F.element_at(arr, (i % n) + F.lit(1))
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+    cross = F.transform(idx, lambda i: at(x, i) * at(y, i + 1) - at(x, i + 1) * at(y, i))
+    a2 = fold(cross)
+    per = fold(
+        F.transform(
+            idx,
+            lambda i: F.sqrt(
+                F.pow(at(x, i + 1) - at(x, i), F.lit(2.0))
+                + F.pow(at(y, i + 1) - at(y, i), F.lit(2.0))
+            ),
+        )
+    )
+    cx_num = fold(F.transform(idx, lambda i: (at(x, i) + at(x, i + 1))
+                              * (at(x, i) * at(y, i + 1) - at(x, i + 1) * at(y, i))))
+    cy_num = fold(F.transform(idx, lambda i: (at(y, i) + at(y, i + 1))
+                              * (at(x, i) * at(y, i + 1) - at(x, i + 1) * at(y, i))))
+    nz = a2 != 0.0
+    return polys.select(
+        "*",
+        F.abs(a2 / 2.0).alias("area"),
+        (a2 / 2.0).alias("signed_area"),
+        per.alias("perimeter"),
+        F.when(nz, cx_num / (3.0 * a2)).alias("cx"),
+        F.when(nz, cy_num / (3.0 * a2)).alias("cy"),
+    )
+
+
+def sql_polygon_stats(xs: str = "xs", ys: str = "ys") -> dict[str, str]:
+    """DuckDB mirrors of `polygon_stats`'s five output expressions —
+    identical per-element arithmetic (list lambdas), identical left-fold
+    summation (list_reduce over a 0.0-prefixed list, matching Spark's
+    F.aggregate fold order element-for-element)."""
+    n = f"len({xs})"
+
+    def at(arr, i):  # DuckDB lists are 1-based, like element_at
+        return f"{arr}[CAST(({i}) % {n} AS BIGINT) + 1]"
+
+    def fold(body: str) -> str:
+        terms = f"list_transform(range(0, {n}), i -> {body})"
+        return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), (acc, v) -> acc + v)"
+
+    cross = f"{at(xs, 'i')} * {at(ys, 'i + 1')} - {at(xs, 'i + 1')} * {at(ys, 'i')}"
+    a2 = fold(cross)
+    per = fold(
+        f"sqrt(pow({at(xs, 'i + 1')} - {at(xs, 'i')}, 2.0)"
+        f" + pow({at(ys, 'i + 1')} - {at(ys, 'i')}, 2.0))"
+    )
+    cx_num = fold(f"({at(xs, 'i')} + {at(xs, 'i + 1')}) * ({cross})")
+    cy_num = fold(f"({at(ys, 'i')} + {at(ys, 'i + 1')}) * ({cross})")
+    return {
+        "area": f"abs(({a2}) / 2.0)",
+        "signed_area": f"(({a2}) / 2.0)",
+        "perimeter": per,
+        "cx": f"CASE WHEN ({a2}) <> 0.0 THEN ({cx_num}) / (3.0 * ({a2})) END",
+        "cy": f"CASE WHEN ({a2}) <> 0.0 THEN ({cy_num}) / (3.0 * ({a2})) END",
+    }
+
+
+def cell_rollup(
+    points: DataFrame,
+    res: float,
+    levels: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Multi-resolution cell pyramid (the hypertable-rollup pattern over
+    the H3/S2-style lattice): count points per cell at ``levels``
+    resolutions (res·2^l for l = 0..levels−1) in ONE scan — the level
+    fan-out is a map-side array explode of pure-arithmetic cell ids, and
+    the single shuffle is the (level, cell) hash aggregate with map-side
+    partials. No re-aggregation chain, no self-union re-reading the input.
+
+    Output: (level, res, cell, n_points). A coarser level's count equals
+    the sum of its children's (the lattice at res·2^l nests exactly into
+    res·2^(l+1) only when cell boundaries align; counts per level are
+    computed independently from the raw points, so they are exact at
+    every level regardless).
+    """
+    from geo_epic_spark import cells
+
+    lv = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(l).alias("level"),
+                F.lit(res * (2 ** l)).alias("res"),
+                cells.cell_id(F.col(lon), F.col(lat), res * (2 ** l)).alias("cell"),
+            )
+            for l in range(levels)
+        ])
+    ).alias("lv")
+    return (
+        points.select(lv)
+        .select("lv.level", "lv.res", "lv.cell")
+        .groupBy("level", "res", "cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def sql_cell_rollup(
+    points_sql: str,
+    res: float,
+    levels: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """DuckDB mirror of `cell_rollup`: UNION ALL over levels of the same
+    integer cell arithmetic (`cells.sql_cell_id`), then one GROUP BY."""
+    from geo_epic_spark import cells
+
+    branches = "\n      UNION ALL\n".join(
+        f"SELECT {l} AS level, CAST({res * (2 ** l)!r} AS DOUBLE) AS res, "
+        f"{cells.sql_cell_id(lon, lat, res * (2 ** l))} AS cell FROM pts"
+        for l in range(levels)
+    )
+    return f"""
+    WITH pts AS ({points_sql}),
+    lv AS (
+      {branches}
+    )
+    SELECT level, res, cell, COUNT(*) AS n_points
+    FROM lv GROUP BY level, res, cell
+    """

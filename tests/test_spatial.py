@@ -157,3 +157,116 @@ def test_rasterize_vectorize_roundtrip(spark, flds):
     v = vec.set_index("zone").join(fp.set_index("poly_id"))
     assert (v.lon_min >= v.x0 - cells.RES_1KM).all()
     assert (v.lon_max <= v.x1 + cells.RES_1KM).all()
+
+
+# ---------------------------------------------------------------------------
+# polygon_stats + cell_rollup
+# ---------------------------------------------------------------------------
+
+def test_polygon_stats_known_shapes(spark):
+    from geo_epic_spark.operators.spatial import polygon_stats
+
+    rows = [
+        # unit square, CCW: area 1, perimeter 4, centroid (.5, .5)
+        (1, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),
+        # same square CW: signed area -1
+        (2, [0.0, 0.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0]),
+        # 3-4-5 right triangle: area 6, perimeter 12, centroid (4/3, 1)
+        (3, [0.0, 4.0, 0.0], [0.0, 0.0, 3.0]),
+        # degenerate segment: zero area, NULL centroid
+        (4, [0.0, 1.0], [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "poly_id long, xs array<double>, ys array<double>"
+    )
+    got = {r["poly_id"]: r for r in polygon_stats(df).collect()}
+    assert got[1]["area"] == pytest.approx(1.0)
+    assert got[1]["signed_area"] == pytest.approx(1.0)
+    assert got[1]["perimeter"] == pytest.approx(4.0)
+    assert (got[1]["cx"], got[1]["cy"]) == (pytest.approx(0.5), pytest.approx(0.5))
+    assert got[2]["signed_area"] == pytest.approx(-1.0)
+    assert (got[2]["cx"], got[2]["cy"]) == (pytest.approx(0.5), pytest.approx(0.5))
+    assert got[3]["area"] == pytest.approx(6.0)
+    assert got[3]["perimeter"] == pytest.approx(12.0)
+    assert (got[3]["cx"], got[3]["cy"]) == (pytest.approx(4 / 3), pytest.approx(1.0))
+    assert got[4]["area"] == 0.0
+    assert got[4]["cx"] is None and got[4]["cy"] is None
+
+
+def test_polygon_stats_duckdb_parity(spark):
+    """The generated DuckDB expressions reproduce every metric on the
+    fields fixture bit-for-bit (identical fold order)."""
+    import duckdb
+
+    from geo_epic_spark import synth
+    from geo_epic_spark.operators.spatial import polygon_stats, sql_polygon_stats
+
+    flds = synth.fields_df(spark, 50).select("poly_id", "xs", "ys")
+    got = {
+        r["poly_id"]: (r["area"], r["signed_area"], r["perimeter"], r["cx"], r["cy"])
+        for r in polygon_stats(flds).collect()
+    }
+    ex = sql_polygon_stats()
+    sql = f"""
+    WITH corners AS ({synth.fields_sql(50)}),
+    polys AS (
+      SELECT poly_id, [x0, x1, x1, x0] AS xs, [y0, y0, y1, y1] AS ys
+      FROM corners
+    )
+    SELECT poly_id, {ex['area']} AS area, {ex['signed_area']} AS signed_area,
+           {ex['perimeter']} AS perimeter, {ex['cx']} AS cx, {ex['cy']} AS cy
+    FROM polys
+    """
+    for pid, *vals in duckdb.connect().execute(sql).fetchall():
+        assert got[pid] == tuple(vals), pid
+
+
+def test_polygon_stats_plan_map_only(spark):
+    from geo_epic_spark import synth
+    from geo_epic_spark.operators.spatial import polygon_stats
+    from geo_epic_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(polygon_stats(synth.fields_df(spark, 10)))
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_cell_rollup_counts_and_parity(spark):
+    from geo_epic_spark import synth
+    from geo_epic_spark.cells import cell_id
+    from geo_epic_spark.operators.spatial import cell_rollup
+
+    pts = synth.images_meta_df(spark, 2000).select(
+        F.col("cx").alias("lon"), F.col("cy").alias("lat")
+    )
+    out = cell_rollup(pts, res=0.05, levels=3).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r["level"], []).append(r)
+    # every level partitions all points
+    for l in range(3):
+        assert sum(r["n_points"] for r in by_level[l]) == 2000
+    # coarser levels have no more cells than finer ones
+    assert len(by_level[2]) <= len(by_level[1]) <= len(by_level[0])
+    # level-l counts equal an independent single-res aggregation
+    for l in (0, 2):
+        brute = {
+            r["cell"]: r["n"]
+            for r in pts.groupBy(
+                cell_id(F.col("lon"), F.col("lat"), 0.05 * 2 ** l).alias("cell")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert {r["cell"]: r["n_points"] for r in by_level[l]} == brute
+
+
+def test_cell_rollup_single_exchange(spark):
+    import re
+
+    from geo_epic_spark import synth
+    from geo_epic_spark.operators.spatial import cell_rollup
+    from geo_epic_spark.plans.checks import formatted_plan
+
+    pts = synth.images_meta_df(spark, 100).select(
+        F.col("cx").alias("lon"), F.col("cy").alias("lat")
+    )
+    plan = formatted_plan(cell_rollup(pts, res=0.05, levels=4))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
