@@ -4490,6 +4490,42 @@ def _sql_cell_rollup() -> str:
     return sql_cell_rollup(pts, res=0.05, levels=4)
 
 
+def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (`diagnostics.profile_table`): null rate /
+    exact distinct / min / max / mean for every documents column from ONE
+    aggregation over ONE scan (plan pinned in test_diagnostics) — the
+    data-quality snapshot a 100 TB job asserts before committing compute."""
+    from geo_epic_spark.operators.diagnostics import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents"))
+
+
+def _sql_profile_docs() -> str:
+    from geo_epic_spark.operators.diagnostics import sql_profile_table
+
+    return sql_profile_table(
+        "documents",
+        [("doc_id", True), ("text", False), ("lang", False),
+         ("source", False), ("n_chars", True)],
+    )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report (`diagnostics.key_skew_report`): the 10
+    heaviest order keys in lineitem with share-of-table and hot_factor
+    (multiple of the mean group size) — the measurement that sizes
+    `add_salt`'s salt factor and AQE's skew threshold before a big join."""
+    from geo_epic_spark.operators.diagnostics import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "lineitem"), "l_orderkey", top=10)
+
+
+def _sql_skew_report() -> str:
+    from geo_epic_spark.operators.diagnostics import sql_key_skew_report
+
+    return sql_key_skew_report("lineitem", "l_orderkey", top=10)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4648,6 +4684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": q_bm25_topk,                  # BM25 lexical retrieval
         "q_polygon_stats": q_polygon_stats,          # shoelace area/centroid
         "q_cell_rollup": q_cell_rollup,              # multi-res cell pyramid
+        "q_profile_docs": q_profile_docs,            # one-pass table profile
+        "q_skew_report": q_skew_report,              # shuffle-key skew report
     }
 
 
@@ -4752,4 +4790,6 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_topk": _sql_bm25_topk(),
         "q_polygon_stats": _sql_polygon_stats(),
         "q_cell_rollup": _sql_cell_rollup(),
+        "q_profile_docs": _sql_profile_docs(),
+        "q_skew_report": _sql_skew_report(),
     }
