@@ -4526,6 +4526,25 @@ def _sql_skew_report() -> str:
     return sql_key_skew_report("lineitem", "l_orderkey", top=10)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (`bpe.bpe_train`, Sennrich 2016):
+    8 merge rules learned from the documents corpus. Spark does the
+    word-frequency aggregation, per-round weighted pair counts (hash agg)
+    and the greedy merge fold (pure-Column aggregate); the driver receives
+    one argmax row per round. The oracle regenerates the ENTIRE 8-round
+    training as chained CTEs (`sql_bpe_merges`) — counts, argmaxes and
+    folds re-derived, not replayed."""
+    from geo_epic_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+def _sql_bpe_train() -> str:
+    from geo_epic_spark.operators.bpe import sql_bpe_merges
+
+    return sql_bpe_merges("documents", 8)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4686,6 +4705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cell_rollup": q_cell_rollup,              # multi-res cell pyramid
         "q_profile_docs": q_profile_docs,            # one-pass table profile
         "q_skew_report": q_skew_report,              # shuffle-key skew report
+        "q_bpe_train": q_bpe_train,                  # BPE tokenizer training
     }
 
 
@@ -4792,4 +4812,5 @@ def oracle_sql() -> dict[str, str]:
         "q_cell_rollup": _sql_cell_rollup(),
         "q_profile_docs": _sql_profile_docs(),
         "q_skew_report": _sql_skew_report(),
+        "q_bpe_train": _sql_bpe_train(),
     }
