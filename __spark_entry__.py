@@ -4545,6 +4545,106 @@ def _sql_bpe_train() -> str:
     return sql_bpe_merges("documents", 8)
 
 
+def q_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-vector overlay join (`overlay.overlay_join`): exact
+    intersection area of every (image tile, field polygon) pair, rolled up
+    per zone — the area-WEIGHTED generalization of the reference's
+    containment-only zonal transfer (`utils/raster_utils.py:53-108`,
+    geopandas `overlay(how='intersection')` analog). The Spark side runs
+    the GENERAL Sutherland–Hodgman clip kernel on vertex arrays
+    (cell-bucketed candidates, canonical-cell map-side dedup, Arrow UDF);
+    the oracle uses the closed-form rect∩rect min/max formula — agreement
+    proves the clip kernel exact on the rect fixtures."""
+    from geo_epic_spark.operators.overlay import overlay_join
+
+    imgs = synth.images_meta_df(spark, 2000).select(
+        "image_id", "w", "h",
+        F.array("lon_min", "lon_max", "lon_max", "lon_min").alias("xs"),
+        F.array("lat_min", "lat_min", "lat_max", "lat_max").alias("ys"),
+    )
+    flds = synth.fields_df(spark, N_POLY).select(
+        "poly_id", F.col("xs").alias("zxs"), F.col("ys").alias("zys"))
+    pairs = overlay_join(imgs, flds, res=0.05)
+    out = pairs.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("overlap_area").alias("covered_area"),
+        (F.sum(F.col("overlap_area") * (F.col("w") * F.col("h")).cast("double"))
+         / F.sum("overlap_area")).alias("wmean_pixels"),
+    )
+    return _r6(out, ["covered_area", "wmean_pixels"])
+
+
+def _sql_overlay_area() -> str:
+    from geo_epic_spark.operators.overlay import sql_rect_overlap
+
+    a = sql_rect_overlap("i.lon_min", "i.lat_min", "i.lon_max", "i.lat_max",
+                         "p.x0", "p.y0", "p.x1", "p.y1")
+    return f"""
+    WITH imgs AS ({synth.images_meta_sql(2000)}),
+         polys AS ({synth.fields_sql(N_POLY)}),
+         pairs AS (
+           SELECT p.poly_id, i.w, i.h, {a} AS a
+           FROM imgs i JOIN polys p
+             ON i.lon_min <= p.x1 AND p.x0 <= i.lon_max
+            AND i.lat_min <= p.y1 AND p.y0 <= i.lat_max
+         )
+    SELECT poly_id, COUNT(*) AS n_tiles,
+           ROUND(SUM(a), 6) AS covered_area,
+           ROUND(SUM(a * (w * h)) / SUM(a), 6) AS wmean_pixels
+    FROM pairs WHERE a > 0 GROUP BY 1
+    """
+
+
+_DEM_NR, _DEM_NC, _DEM_SP = 60, 80, 0.05
+
+
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal 3×3 map algebra (`mapalgebra.focal_stats`) over the mukey
+    raster-as-table (with its ~2% nodata holes): per-cell neighborhood
+    mean/min/max/count in the scatter→single-hash-agg shape (no raster
+    self-join; same single-Exchange plan family as q_cell_rollup). The
+    oracle re-derives the window by the identical offset arithmetic."""
+    from geo_epic_spark.operators.mapalgebra import focal_stats
+
+    raster = synth.soil_grid_df(spark, 100, 120, 0.018)
+    out = focal_stats(raster, nc=120, nr=100, value="mukey")
+    return _r6(out, ["focal_mean"])
+
+
+def _sql_focal_stats() -> str:
+    from geo_epic_spark.operators.mapalgebra import sql_focal_stats
+
+    inner = sql_focal_stats("raster", nc=120, nr=100, value="mukey")
+    return f"""
+    WITH raster AS ({synth.soil_grid_sql(100, 120, 0.018)})
+    SELECT grid_id, ROUND(focal_mean, 6) AS focal_mean, focal_min, focal_max, focal_count
+    FROM ({inner})
+    """
+
+
+def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn slope + aspect octant (`mapalgebra.slope_aspect`) over the DEM
+    lattice — the terrain-derivative half of raster map algebra. Aspect is
+    encoded by sign/ratio comparisons (no atan2), so the DuckDB mirror
+    decides each cell by identical double comparisons; slope rounds at 6dp."""
+    from geo_epic_spark.operators.mapalgebra import slope_aspect
+
+    dem = synth.elev_grid_df(spark, _DEM_NR, _DEM_NC, _DEM_SP)
+    out = slope_aspect(dem, nc=_DEM_NC, nr=_DEM_NR, spacing=_DEM_SP)
+    return _r6(out, ["slope"])
+
+
+def _sql_slope_aspect() -> str:
+    from geo_epic_spark.operators.mapalgebra import sql_slope_aspect
+
+    inner = sql_slope_aspect("dem", nc=_DEM_NC, nr=_DEM_NR, spacing=_DEM_SP)
+    return f"""
+    WITH dem AS ({synth.elev_grid_sql(_DEM_NR, _DEM_NC, _DEM_SP)})
+    SELECT grid_id, ROUND(slope, 6) AS slope, aspect_octant
+    FROM ({inner})
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4706,6 +4806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_docs": q_profile_docs,            # one-pass table profile
         "q_skew_report": q_skew_report,              # shuffle-key skew report
         "q_bpe_train": q_bpe_train,                  # BPE tokenizer training
+        "q_overlay_area": q_overlay_area,            # polygon-overlay area join
+        "q_focal_stats": q_focal_stats,              # 3x3 focal map algebra
+        "q_slope_aspect": q_slope_aspect,            # Horn slope + aspect octant
     }
 
 
@@ -4813,4 +4916,7 @@ def oracle_sql() -> dict[str, str]:
         "q_profile_docs": _sql_profile_docs(),
         "q_skew_report": _sql_skew_report(),
         "q_bpe_train": _sql_bpe_train(),
+        "q_overlay_area": _sql_overlay_area(),
+        "q_focal_stats": _sql_focal_stats(),
+        "q_slope_aspect": _sql_slope_aspect(),
     }

@@ -253,6 +253,32 @@ def soil_grid_sql(nr: int, nc: int, spacing: float) -> str:
     """
 
 
+def elev_grid_df(spark: SparkSession, nr: int, nc: int, spacing: float) -> DataFrame:
+    """DEM-as-table (elevation raster analog for slope/aspect map algebra):
+    a tilted plane + saddle + hash jitter, all exact int/double mul-add in
+    the SAME operation order as the SQL mirror (bit-identical)."""
+    base = grid_df(spark, nr, nc, spacing)
+    g = F.col("grid_id")
+    r = (g / F.lit(nc)).cast("long").cast("double")
+    c = (g % F.lit(nc)).cast("double")
+    elev = (F.lit(200.0) + r * F.lit(1.7) - c * F.lit(0.9)
+            + r * c * F.lit(0.013) + u_col(g, M[7], 53) * F.lit(4.0))
+    return base.select("grid_id", "lon", "lat", elev.alias("elev"))
+
+
+def elev_grid_sql(nr: int, nc: int, spacing: float) -> str:
+    u = u_sql("g", M[7], 53)
+    return f"""
+    SELECT g AS grid_id,
+           {AOI['lon0']!r} + ((g % {nc}) + 0.5) * {spacing!r} AS lon,
+           {AOI['lat0']!r} + ((g // {nc}) + 0.5) * {spacing!r} AS lat,
+           200.0 + CAST(g // {nc} AS DOUBLE) * 1.7 - CAST(g % {nc} AS DOUBLE) * 0.9
+             + CAST(g // {nc} AS DOUBLE) * CAST(g % {nc} AS DOUBLE) * 0.013
+             + {u} * 4.0 AS elev
+    FROM (SELECT CAST(range AS BIGINT) AS g FROM range({nr * nc}))
+    """
+
+
 # ---------------------------------------------------------------------------
 # daily weather series (DLY analog, `io/inputs.py:202-222`)
 # ---------------------------------------------------------------------------
