@@ -4645,6 +4645,58 @@ def _sql_slope_aspect() -> str:
     """
 
 
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance join (`geocluster.radius_join`): every (image,
+    grid-center) pair at planar distance <= 0.1° — the all-neighbors
+    generalization of the reference's nearest-one lookup
+    (`utils/raster_utils.py:16-30`). Covering-cell equi-join, distance
+    refine inside the broadcast join condition; the squared distance is
+    exact mul/add arithmetic so the oracle hash-matches WITHOUT rounding."""
+    from geo_epic_spark.operators.geocluster import radius_join
+
+    pts = synth.images_meta_df(spark, 2000).select("i", "cx", "cy")
+    grid = synth.grid_df(spark, GRID_NR, GRID_NC, GRID_SP).select(
+        "grid_id", F.col("lon").alias("clon"), F.col("lat").alias("clat"))
+    return radius_join(
+        pts, grid, radius=0.1, lon="cx", lat="cy", center_id="grid_id"
+    ).select("i", "grid_id", "dist2")
+
+
+def _sql_radius_join() -> str:
+    return f"""
+    WITH pts AS ({synth.images_meta_sql(2000)}),
+         grid AS ({synth.grid_sql(GRID_NR, GRID_NC, GRID_SP)})
+    SELECT p.i, g.grid_id,
+           (p.cx - g.lon) * (p.cx - g.lon) + (p.cy - g.lat) * (p.cy - g.lat) AS dist2
+    FROM pts p JOIN grid g
+      ON (p.cx - g.lon) * (p.cx - g.lon) + (p.cy - g.lat) * (p.cy - g.lat) <= 0.1 * 0.1
+    """
+
+
+def q_density_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (`geocluster.density_cluster`, DBSCAN-lite):
+    the planted HOT cluster (20% of images in 0.2°×0.15°) surfaces as one
+    dense-cell component via large/small-star contraction; sparse-cell
+    points are noise (NULL cluster). The oracle re-derives dense cells and
+    the component labels with a recursive-CTE transitive closure over the
+    SAME 8-adjacency graph."""
+    from geo_epic_spark.operators.geocluster import density_cluster
+
+    pts = synth.images_meta_df(spark, N_IMG).select(
+        F.col("i").alias("point_id"), "cx", "cy")
+    return density_cluster(
+        pts, res=0.02, min_pts=6, lon="cx", lat="cy", algorithm="star")
+
+
+def _sql_density_cluster() -> str:
+    from geo_epic_spark.operators.geocluster import sql_density_cluster
+
+    inner = sql_density_cluster(
+        f"SELECT i AS point_id, cx, cy FROM ({synth.images_meta_sql(N_IMG)})",
+        res=0.02, min_pts=6, lon="cx", lat="cy")
+    return inner
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4809,6 +4861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overlay_area": q_overlay_area,            # polygon-overlay area join
         "q_focal_stats": q_focal_stats,              # 3x3 focal map algebra
         "q_slope_aspect": q_slope_aspect,            # Horn slope + aspect octant
+        "q_radius_join": q_radius_join,              # within-distance join
+        "q_density_cluster": q_density_cluster,      # grid-density DBSCAN-lite
     }
 
 
@@ -4919,4 +4973,6 @@ def oracle_sql() -> dict[str, str]:
         "q_overlay_area": _sql_overlay_area(),
         "q_focal_stats": _sql_focal_stats(),
         "q_slope_aspect": _sql_slope_aspect(),
+        "q_radius_join": _sql_radius_join(),
+        "q_density_cluster": _sql_density_cluster(),
     }
