@@ -11,6 +11,7 @@ queries run over the driver's parquet tables.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -4697,6 +4698,43 @@ def _sql_density_cluster() -> str:
     return inner
 
 
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar shard export (`images.shards.write_webdataset`): the
+    image+caption table is hash-banded into 8 shards (`sampling.hash_unit`,
+    the same decision function as q_split_assign) and each shard group
+    writes one DETERMINISTIC tar (sorted members, USTAR, zeroed metadata).
+    The oracled projection is the SQL-expressible half of the manifest —
+    shard assignment, member counts, caption byte totals; tar byte layout
+    and payload integrity are pinned by the roundtrip + stable-sha pytest
+    (test_shards), since PNG payload sizes are not SQL-derivable."""
+    import tempfile
+
+    from geo_epic_spark.images import full_images_df
+    from geo_epic_spark.images.shards import write_webdataset
+    from geo_epic_spark.operators.sampling import hash_unit
+
+    out_dir = os.path.join(tempfile.gettempdir(), "ges_q_shard_export")
+    imgs = full_images_df(spark, 600).withColumn(
+        "shard", F.floor(hash_unit(F.col("i")) * 8).cast("long"))
+    man = write_webdataset(imgs, out_dir)
+    return man.select("shard", "n_members", "caption_bytes")
+
+
+def _sql_shard_export() -> str:
+    return f"""
+    WITH imgs AS ({synth.images_meta_sql(600)}),
+    h AS (
+      SELECT caption,
+             CAST(floor(((((i % 1000003) + 0) * 2654435761) % 2147483647
+                         * 48271) % 2147483647 / 2147483647.0 * 8) AS BIGINT) AS shard
+      FROM imgs
+    )
+    SELECT shard, 2 * COUNT(*) AS n_members,
+           CAST(SUM(strlen(caption)) AS BIGINT) AS caption_bytes
+    FROM h GROUP BY shard
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4863,6 +4901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_slope_aspect": q_slope_aspect,            # Horn slope + aspect octant
         "q_radius_join": q_radius_join,              # within-distance join
         "q_density_cluster": q_density_cluster,      # grid-density DBSCAN-lite
+        "q_shard_export": q_shard_export,            # webdataset tar shards
     }
 
 
@@ -4975,4 +5014,5 @@ def oracle_sql() -> dict[str, str]:
         "q_slope_aspect": _sql_slope_aspect(),
         "q_radius_join": _sql_radius_join(),
         "q_density_cluster": _sql_density_cluster(),
+        "q_shard_export": _sql_shard_export(),
     }
