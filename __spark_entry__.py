@@ -4735,6 +4735,84 @@ def _sql_shard_export() -> str:
     """
 
 
+def q_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear raster resample (`mapalgebra.regrid_bilinear`): the DEM
+    lattice re-gridded from 0.05° to 0.03° — target lattice generated (no
+    input scan), 4-corner fan-out with bilinear weights map-side, one
+    equi-join + one weighted aggregate. Edge targets renormalize by the
+    surviving corner weights; the oracle repeats the identical
+    fractional-coordinate arithmetic so the floor()s agree bit-for-bit."""
+    from geo_epic_spark.operators.mapalgebra import regrid_bilinear
+
+    src = synth.elev_grid_df(spark, _DEM_NR, _DEM_NC, _DEM_SP)
+    out = regrid_bilinear(
+        src, src_nc=_DEM_NC, src_nr=_DEM_NR, src_spacing=_DEM_SP,
+        dst_nc=130, dst_nr=95, dst_spacing=0.03, value="elev",
+        lon0=synth.AOI["lon0"], lat0=synth.AOI["lat0"])
+    return _r6(out, ["elev", "w_total"])
+
+
+def _sql_regrid_bilinear() -> str:
+    from geo_epic_spark.operators.mapalgebra import sql_regrid_bilinear
+
+    inner = sql_regrid_bilinear(
+        synth.elev_grid_sql(_DEM_NR, _DEM_NC, _DEM_SP),
+        src_nc=_DEM_NC, src_nr=_DEM_NR, src_spacing=_DEM_SP,
+        dst_nc=130, dst_nr=95, dst_spacing=0.03, value="elev",
+        lon0=synth.AOI["lon0"], lat0=synth.AOI["lat0"])
+    return f"""
+    SELECT dst_id, ROUND(elev, 6) AS elev, ROUND(w_total, 6) AS w_total
+    FROM ({inner})
+    """
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MERGE INTO semantics (`relational.merge_upsert`):
+    last-writer-wins upsert + delete tombstones over the orders table in
+    ONE key-keyed window shuffle. Planted cases: version-2 updates win,
+    version-TIE updates win (the update is the later writer), and
+    tombstoned keys vanish. The oracle replays the same
+    union + row_number + anti-tombstone pipeline."""
+    from geo_epic_spark.operators.relational import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", F.col("o_totalprice").alias("val"), F.lit(1).alias("version"))
+    upd = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(100.0)).alias("val"),
+            F.when(F.col("o_orderkey") % 6 == 0, F.lit(1)).otherwise(F.lit(2)).alias("version"),
+            (F.col("o_orderkey") % 9 == 0).alias("deleted"),
+        )
+    )
+    return merge_upsert(base, upd, key="o_orderkey", version="version",
+                        delete_col="deleted")
+
+
+def _sql_merge_upsert() -> str:
+    return """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice AS val, 1 AS version, FALSE AS deleted, 0 AS upd
+      FROM orders
+    ),
+    updates AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS val,
+             CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 2 END AS version,
+             o_orderkey % 9 = 0 AS deleted, 1 AS upd
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY version DESC, upd DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+    )
+    SELECT o_orderkey, val, version
+    FROM ranked WHERE rn = 1 AND NOT coalesce(deleted, FALSE)
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4902,6 +4980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_radius_join": q_radius_join,              # within-distance join
         "q_density_cluster": q_density_cluster,      # grid-density DBSCAN-lite
         "q_shard_export": q_shard_export,            # webdataset tar shards
+        "q_regrid_bilinear": q_regrid_bilinear,      # raster resample
+        "q_merge_upsert": q_merge_upsert,            # MERGE INTO upsert
     }
 
 
@@ -5015,4 +5095,6 @@ def oracle_sql() -> dict[str, str]:
         "q_radius_join": _sql_radius_join(),
         "q_density_cluster": _sql_density_cluster(),
         "q_shard_export": _sql_shard_export(),
+        "q_regrid_bilinear": _sql_regrid_bilinear(),
+        "q_merge_upsert": _sql_merge_upsert(),
     }

@@ -214,3 +214,122 @@ def sql_slope_aspect(raster_cte: str, nc: int, nr: int, spacing: float,
            END AS aspect_octant
     FROM grad WHERE n = 9
     """
+
+
+# ---------------------------------------------------------------------------
+# bilinear regrid: resample a grid raster table to a new lattice
+# ---------------------------------------------------------------------------
+
+def regrid_bilinear(
+    src: DataFrame,
+    src_nc: int,
+    src_nr: int,
+    src_spacing: float,
+    dst_nc: int,
+    dst_nr: int,
+    dst_spacing: float,
+    value: str,
+    lon0: float,
+    lat0: float,
+    grid_id: str = "grid_id",
+) -> DataFrame:
+    """Bilinear resample of a row-major grid raster onto a new lattice over
+    the same origin (the raster half of CRS/resolution harmonization; the
+    reference resamples by nearest-neighbor only, `utils/raster_utils.py`).
+
+    Spark shape: the TARGET lattice is generated (`spark.range`, no input
+    scan), each target computes its fractional source coordinate, explodes
+    its 4 surrounding source ids with bilinear weights (pure arithmetic,
+    map-side), and ONE equi-join on source id + ONE hash aggregate produce
+    sum(w·v)/sum(w). Nodata holes drop their corner row and the weight
+    renormalization degrades gracefully; targets outside the source hull
+    get no rows. Both shuffles key on ids — scales like any equi-join.
+    """
+    spark = src.sparkSession
+    g = F.col("id")
+    tlon = F.lit(lon0) + ((g % F.lit(dst_nc)).cast("double") + F.lit(0.5)) * F.lit(dst_spacing)
+    tlat = F.lit(lat0) + ((g / F.lit(dst_nc)).cast("long").cast("double") + F.lit(0.5)) * F.lit(dst_spacing)
+    fx = (tlon - F.lit(lon0)) / F.lit(src_spacing) - F.lit(0.5)
+    fy = (tlat - F.lit(lat0)) / F.lit(src_spacing) - F.lit(0.5)
+    i0 = F.floor(fx).cast("long")
+    j0 = F.floor(fy).cast("long")
+    dx = fx - i0.cast("double")
+    dy = fy - j0.cast("double")
+    tgt = spark.range(dst_nr * dst_nc).select(
+        g.alias("dst_id"), i0.alias("__i0"), j0.alias("__j0"),
+        dx.alias("__dx"), dy.alias("__dy"),
+    )
+    corner = F.explode(F.array(*[
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+        for dj in (0, 1) for di in (0, 1)
+    ])).alias("c")
+    w = (
+        F.when(F.col("c.di") == 0, F.lit(1.0) - F.col("__dx")).otherwise(F.col("__dx"))
+        * F.when(F.col("c.dj") == 0, F.lit(1.0) - F.col("__dy")).otherwise(F.col("__dy"))
+    )
+    fan = (
+        tgt.select("dst_id", "__dx", "__dy", "__i0", "__j0", corner)
+        .where((F.col("__i0") + F.col("c.di") >= 0)
+               & (F.col("__i0") + F.col("c.di") < src_nc)
+               & (F.col("__j0") + F.col("c.dj") >= 0)
+               & (F.col("__j0") + F.col("c.dj") < src_nr))
+        .select(
+            "dst_id",
+            ((F.col("__j0") + F.col("c.dj")) * F.lit(src_nc)
+             + F.col("__i0") + F.col("c.di")).alias("__src_id"),
+            w.alias("__w"),
+        )
+    )
+    joined = fan.join(
+        src.select(F.col(grid_id).alias("__src_id"), F.col(value).alias("__v")),
+        on="__src_id", how="inner",
+    )
+    return (
+        joined.groupBy("dst_id")
+        .agg((F.sum(F.col("__w") * F.col("__v")) / F.sum("__w")).alias(value),
+             F.sum("__w").alias("w_total"))
+    )
+
+
+def sql_regrid_bilinear(
+    src_cte: str,
+    src_nc: int,
+    src_nr: int,
+    src_spacing: float,
+    dst_nc: int,
+    dst_nr: int,
+    dst_spacing: float,
+    value: str,
+    lon0: float,
+    lat0: float,
+    grid_id: str = "grid_id",
+) -> str:
+    """DuckDB mirror: identical fractional-coordinate arithmetic (same
+    operation order, so the floor()s agree bit-for-bit), 4-corner fan-out
+    via a 2x2 range cross join, same join + weighted aggregate."""
+    tlon = f"({lon0!r} + ((g % {dst_nc}) + 0.5) * {dst_spacing!r})"
+    tlat = f"({lat0!r} + ((g // {dst_nc}) + 0.5) * {dst_spacing!r})"
+    fx = f"(({tlon} - {lon0!r}) / {src_spacing!r} - 0.5)"
+    fy = f"(({tlat} - {lat0!r}) / {src_spacing!r} - 0.5)"
+    return f"""
+    WITH tgt AS (
+      SELECT g AS dst_id,
+             CAST(floor({fx}) AS BIGINT) AS i0, CAST(floor({fy}) AS BIGINT) AS j0,
+             {fx} - floor({fx}) AS dx, {fy} - floor({fy}) AS dy
+      FROM (SELECT CAST(range AS BIGINT) AS g FROM range({dst_nr * dst_nc}))
+    ),
+    fan AS (
+      SELECT t.dst_id, (t.j0 + c.dj) * {src_nc} + t.i0 + c.di AS src_id,
+             (CASE WHEN c.di = 0 THEN 1.0 - t.dx ELSE t.dx END)
+           * (CASE WHEN c.dj = 0 THEN 1.0 - t.dy ELSE t.dy END) AS w
+      FROM tgt t
+      CROSS JOIN (SELECT CAST(a.range AS BIGINT) AS di, CAST(b.range AS BIGINT) AS dj
+                  FROM range(0, 2) a, range(0, 2) b) c
+      WHERE t.i0 + c.di >= 0 AND t.i0 + c.di < {src_nc}
+        AND t.j0 + c.dj >= 0 AND t.j0 + c.dj < {src_nr}
+    )
+    SELECT f.dst_id, sum(f.w * s.{value}) / sum(f.w) AS {value},
+           sum(f.w) AS w_total
+    FROM fan f JOIN ({src_cte}) s ON s.{grid_id} = f.src_id
+    GROUP BY f.dst_id
+    """

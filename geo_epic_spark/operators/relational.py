@@ -129,3 +129,42 @@ def resume_filter(work: DataFrame, done: DataFrame, key: str | list[str]) -> Dat
     of the reference's isin-on-listdir."""
     keys = [key] if isinstance(key, str) else key
     return work.join(done.select(*keys).distinct(), on=keys, how="left_anti")
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    version: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Iceberg ``MERGE INTO`` semantics as a pure DataFrame transform:
+    last-writer-wins upsert of ``updates`` into ``base`` by ``key``, ordered
+    by ``version`` (updates win ties — they are the later writer), with
+    optional delete tombstones (rows whose ``delete_col`` is true remove
+    the key when they win).
+
+    Shape: one unionByName (map-only) + one window over the key — a single
+    key-keyed shuffle, the same cost as the join MERGE INTO compiles to.
+    With both sides bucketed by key (sources/bucketing.py) the Exchange
+    disappears entirely. Copy-on-write at table scale: partition-pruned
+    read -> this transform -> partition-scoped overwrite, which is exactly
+    the reference's skip-existing resume pattern upgraded from
+    insert-only to full upsert (`operators/resume.py`).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    b = base.withColumn("__upd", F.lit(0))
+    u = updates.withColumn("__upd", F.lit(1))
+    if delete_col is not None and delete_col not in base.columns:
+        b = b.withColumn(delete_col, F.lit(False))
+    allrows = b.unionByName(u)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version).desc(), F.col("__upd").desc())
+    out = (
+        allrows.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__upd")
+    )
+    if delete_col is not None:
+        out = out.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    return out

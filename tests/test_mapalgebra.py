@@ -89,3 +89,44 @@ class TestSlope:
         for r in out:
             assert r.slope == pytest.approx(2.0)
             assert r.aspect_octant == 6  # downslope due south (row index falls)
+
+
+class TestRegrid:
+    def test_interior_matches_manual_bilinear(self, spark, dem_np):
+        from geo_epic_spark.operators.mapalgebra import regrid_bilinear
+
+        src = synth.elev_grid_df(spark, NR, NC, SP)
+        out = regrid_bilinear(src, src_nc=NC, src_nr=NR, src_spacing=SP,
+                              dst_nc=20, dst_nr=16, dst_spacing=0.035,
+                              value="elev", lon0=synth.AOI["lon0"],
+                              lat0=synth.AOI["lat0"])
+        got = {r.dst_id: (r.elev, r.w_total) for r in out.collect()}
+        for d in range(20 * 16):
+            fx = ((d % 20) + 0.5) * 0.035 / SP - 0.5
+            fy = ((d // 20) + 0.5) * 0.035 / SP - 0.5
+            i0, j0 = int(np.floor(fx)), int(np.floor(fy))
+            dx, dy = fx - i0, fy - j0
+            num = den = 0.0
+            for dj in (0, 1):
+                for di in (0, 1):
+                    if 0 <= i0 + di < NC and 0 <= j0 + dj < NR:
+                        w = (dx if di else 1 - dx) * (dy if dj else 1 - dy)
+                        num += w * dem_np[j0 + dj, i0 + di]
+                        den += w
+            if den == 0.0:
+                assert d not in got
+            else:
+                assert got[d][0] == pytest.approx(num / den, rel=1e-9)
+                assert got[d][1] == pytest.approx(den, abs=1e-12)
+
+    def test_identity_regrid_preserves_values(self, spark, dem_np):
+        from geo_epic_spark.operators.mapalgebra import regrid_bilinear
+
+        src = synth.elev_grid_df(spark, NR, NC, SP)
+        out = regrid_bilinear(src, src_nc=NC, src_nr=NR, src_spacing=SP,
+                              dst_nc=NC, dst_nr=NR, dst_spacing=SP,
+                              value="elev", lon0=synth.AOI["lon0"],
+                              lat0=synth.AOI["lat0"])
+        got = {r.dst_id: r.elev for r in out.collect()}
+        for g, v in got.items():
+            assert v == pytest.approx(dem_np[g // NC, g % NC], rel=1e-12)

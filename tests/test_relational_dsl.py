@@ -190,3 +190,34 @@ def test_opc_append_empty_first_global(spark):
     assert out["Yid"].tolist() == [1, 2]
     assert out["Yr"].tolist() == [2000, 2001]
     assert out["Yid"].notna().all() and out["date"].notna().all()
+
+
+class TestMergeUpsert:
+    def test_semantics(self, spark):
+        from geo_epic_spark.operators.relational import merge_upsert
+
+        base = spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 1), (4, "d", 5)],
+            "k int, v string, version int")
+        upd = spark.createDataFrame(
+            [(2, "B", 2, False),   # newer version wins
+             (3, "C", 1, False),   # tie: update wins
+             (4, "D", 2, False),   # older than base: base wins
+             (1, "x", 9, True),    # tombstone: key removed
+             (5, "E", 1, False)],  # brand new key: inserted
+            "k int, v string, version int, deleted boolean")
+        got = {r.k: (r.v, r.version) for r in
+               merge_upsert(base, upd, key="k", version="version",
+                            delete_col="deleted").collect()}
+        assert got == {2: ("B", 2), 3: ("C", 1), 4: ("d", 5), 5: ("E", 1)}
+
+    def test_single_exchange(self, spark):
+        from geo_epic_spark.operators.relational import merge_upsert
+
+        base = spark.range(100).select(F.col("id").alias("k"),
+                                       F.lit(1).alias("version"))
+        upd = spark.range(50).select(F.col("id").alias("k"),
+                                     F.lit(2).alias("version"))
+        plan = (merge_upsert(base, upd, key="k", version="version")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1
