@@ -4813,6 +4813,77 @@ def _sql_merge_upsert() -> str:
     """
 
 
+def q_adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadtree-adaptive tiling (`spatial.adaptive_cells`): cells holding
+    > cap points split recursively, so the planted HOT cluster tiles 3-4
+    levels finer than the sparse background — the skew answer as a LAYOUT
+    operator (balanced cell partitions without salting). Exploits exact
+    lattice nesting: a point's final level is the FIRST level whose cell
+    count <= cap. Output: per final (level, cell) occupancy. Oracle:
+    identical per-level cell arithmetic + min-qualifying-level selection."""
+    from geo_epic_spark.operators.spatial import adaptive_cells
+
+    pts = synth.images_meta_df(spark, N_IMG).select("i", "cx", "cy")
+    out = adaptive_cells(pts, base_res=0.4, max_depth=4, cap=150,
+                         lon="cx", lat="cy")
+    return (
+        out.groupBy("level", "cell", "cell_res")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def _sql_adaptive_cells() -> str:
+    levels = "\n      UNION ALL\n".join(
+        f"SELECT i, {cells.sql_cell_id('cx', 'cy', 0.4 / (2 ** l))} AS cell, "
+        f"{l} AS level FROM pts"
+        for l in range(5)
+    )
+    return f"""
+    WITH pts AS (SELECT i, cx, cy FROM ({synth.images_meta_sql(N_IMG)})),
+    chains AS (
+      {levels}
+    ),
+    counts AS (SELECT level, cell, COUNT(*) AS n FROM chains GROUP BY 1, 2),
+    tagged AS (
+      SELECT c.i, c.level, c.cell
+      FROM chains c JOIN counts t ON c.level = t.level AND c.cell = t.cell
+      WHERE t.n <= 150 OR c.level = 4
+    ),
+    best AS (SELECT i, min(level) AS level FROM tagged GROUP BY i),
+    final AS (
+      SELECT b.i, b.level, c.cell, 0.4 / pow(2.0, CAST(b.level AS DOUBLE)) AS cell_res
+      FROM best b JOIN chains c ON c.i = b.i AND c.level = b.level
+    )
+    SELECT level, cell, cell_res, COUNT(*) AS n_points
+    FROM final GROUP BY 1, 2, 3
+    """
+
+
+def q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-track trajectory analytics (`trajectory.trajectory_stats`):
+    path length, net displacement, straightness and max step per GPS
+    track — one lag window + one aggregate, both keyed on track_id. The
+    oracle replays the identical window/min_by arithmetic."""
+    from geo_epic_spark.operators.trajectory import trajectory_stats
+
+    tracks = synth.tracks_df(spark, 400, 60)
+    out = trajectory_stats(tracks)
+    return _r6(out, ["path_len", "max_step", "displacement", "straightness"])
+
+
+def _sql_trajectory() -> str:
+    from geo_epic_spark.operators.trajectory import sql_trajectory_stats
+
+    inner = sql_trajectory_stats(synth.tracks_sql(400, 60))
+    return f"""
+    SELECT track_id, n_points,
+           ROUND(path_len, 6) AS path_len, ROUND(max_step, 6) AS max_step,
+           ROUND(displacement, 6) AS displacement,
+           ROUND(straightness, 6) AS straightness
+    FROM ({inner})
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4982,6 +5053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_export": q_shard_export,            # webdataset tar shards
         "q_regrid_bilinear": q_regrid_bilinear,      # raster resample
         "q_merge_upsert": q_merge_upsert,            # MERGE INTO upsert
+        "q_adaptive_cells": q_adaptive_cells,        # quadtree skew tiling
+        "q_trajectory": q_trajectory,                # per-track GPS analytics
     }
 
 
@@ -5097,4 +5170,6 @@ def oracle_sql() -> dict[str, str]:
         "q_shard_export": _sql_shard_export(),
         "q_regrid_bilinear": _sql_regrid_bilinear(),
         "q_merge_upsert": _sql_merge_upsert(),
+        "q_adaptive_cells": _sql_adaptive_cells(),
+        "q_trajectory": _sql_trajectory(),
     }

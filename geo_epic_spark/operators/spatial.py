@@ -714,3 +714,61 @@ def sql_cell_rollup(
     SELECT level, res, cell, COUNT(*) AS n_points
     FROM lv GROUP BY level, res, cell
     """
+
+
+def adaptive_cells(
+    points: DataFrame,
+    base_res: float,
+    max_depth: int,
+    cap: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Quadtree-adaptive tiling: each point gets the FINEST-grained cell its
+    density requires — cells holding more than ``cap`` points split into 4
+    children (res/2) recursively, up to ``max_depth`` levels below
+    ``base_res``. The north-rule skew answer as a LAYOUT operator: dense
+    (urban/irrigated) clusters tile fine, empty country stays coarse, so a
+    downstream cell-keyed join or file layout gets balanced partitions
+    without salting.
+
+    Because the halved lattices NEST exactly (child cells of k are 2k and
+    2k+1 per axis), a child's count never exceeds its parent's — so a
+    point's final level is simply the FIRST level whose cell count is
+    <= cap (or max_depth). That turns the recursive split into:
+
+      one map-side explode of the per-level cells (pure arithmetic)
+      -> one (level, cell) count aggregate           [shuffle 1, tiny out]
+      -> broadcast the counts back onto the chains   [no shuffle]
+      -> per-point min qualifying level              [shuffle 2, by point]
+
+    Output: point columns + (level, cell, cell_res).
+    """
+    lv = F.explode(F.array(*[
+        F.struct(
+            F.lit(l).alias("level"),
+            cells.cell_id(F.col(lon), F.col(lat), base_res / (2 ** l)).alias("cell"),
+        )
+        for l in range(max_depth + 1)
+    ])).alias("lv")
+    chains = points.select("*", lv).select("*", "lv.level", "lv.cell").drop("lv")
+    counts = chains.groupBy("level", "cell").agg(F.count(F.lit(1)).alias("__n"))
+    tagged = chains.join(F.broadcast(counts), ["level", "cell"], "inner")
+    pick = F.when(
+        (F.col("__n") <= cap) | (F.col("level") == max_depth), F.col("level")
+    )
+    keyed = tagged.withColumn("__ok_level", pick)
+    w_cols = [c for c in points.columns]
+    best = (
+        keyed.where(F.col("__ok_level").isNotNull())
+        .groupBy(*w_cols)
+        .agg(F.min(F.struct(F.col("__ok_level").alias("level"),
+                            F.col("cell").alias("cell"))).alias("__s"))
+    )
+    return best.select(
+        *w_cols,
+        F.col("__s.level").alias("level"),
+        F.col("__s.cell").alias("cell"),
+        (F.lit(float(base_res))
+         / F.pow(F.lit(2.0), F.col("__s.level").cast("double"))).alias("cell_res"),
+    )

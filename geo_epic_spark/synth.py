@@ -279,6 +279,53 @@ def elev_grid_sql(nr: int, nc: int, spacing: float) -> str:
     """
 
 
+def tracks_df(spark: SparkSession, n_tracks: int, n_pts: int) -> DataFrame:
+    """GPS-track analog (track_id, seq, lon, lat): per-track start + linear
+    heading + quadratic curvature + per-point jitter, all exact mul/add in
+    the same operation order as the SQL mirror."""
+    t = F.col("t")
+    trk = (t / F.lit(n_pts)).cast("long")
+    s = (t % F.lit(n_pts)).cast("double")
+    x0 = F.lit(AOI["lon0"]) + u_col(trk, M[0], 61) * F.lit(AOI["w"])
+    y0 = F.lit(AOI["lat0"]) + u_col(trk, M[1], 67) * F.lit(AOI["h"])
+    dx = (u_col(trk, M[2], 73) - F.lit(0.5)) * F.lit(0.004)
+    dy = (u_col(trk, M[3], 79) - F.lit(0.5)) * F.lit(0.004)
+    ex = (u_col(trk, M[4], 83) - F.lit(0.5)) * F.lit(0.00002)
+    ey = (u_col(trk, M[5], 89) - F.lit(0.5)) * F.lit(0.00002)
+    jx = (u_col(t, M[6], 97) - F.lit(0.5)) * F.lit(0.0002)
+    jy = (u_col(t, M[7], 101) - F.lit(0.5)) * F.lit(0.0002)
+    return spark.range(n_tracks * n_pts).withColumnRenamed("id", "t").select(
+        trk.alias("track_id"),
+        (t % F.lit(n_pts)).alias("seq"),
+        (x0 + s * dx + s * s * ex + jx).alias("lon"),
+        (y0 + s * dy + s * s * ey + jy).alias("lat"),
+    )
+
+
+def tracks_sql(n_tracks: int, n_pts: int) -> str:
+    def ut(m, a):
+        return u_sql(f"(t // {n_pts})", M[m], a)
+
+    def up(m, a):
+        return u_sql("t", M[m], a)
+
+    return f"""
+    SELECT t // {n_pts} AS track_id,
+           t % {n_pts} AS seq,
+           ({AOI['lon0']!r} + {ut(0, 61)} * {AOI['w']!r})
+             + s * (({ut(2, 73)} - 0.5) * 0.004)
+             + s * s * (({ut(4, 83)} - 0.5) * 0.00002)
+             + ({up(6, 97)} - 0.5) * 0.0002 AS lon,
+           ({AOI['lat0']!r} + {ut(1, 67)} * {AOI['h']!r})
+             + s * (({ut(3, 79)} - 0.5) * 0.004)
+             + s * s * (({ut(5, 89)} - 0.5) * 0.00002)
+             + ({up(7, 101)} - 0.5) * 0.0002 AS lat
+    FROM (SELECT CAST(range AS BIGINT) AS t,
+                 CAST(CAST(range AS BIGINT) % {n_pts} AS DOUBLE) AS s
+          FROM range({n_tracks * n_pts}))
+    """
+
+
 # ---------------------------------------------------------------------------
 # daily weather series (DLY analog, `io/inputs.py:202-222`)
 # ---------------------------------------------------------------------------

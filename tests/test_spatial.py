@@ -270,3 +270,35 @@ def test_cell_rollup_single_exchange(spark):
     )
     plan = formatted_plan(cell_rollup(pts, res=0.05, levels=4))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+class TestAdaptiveCells:
+    def test_cap_respected_and_hot_splits_deeper(self, spark):
+        from geo_epic_spark.operators.spatial import adaptive_cells
+
+        pts = synth.images_meta_df(spark, 4000).select("i", "cx", "cy")
+        out = adaptive_cells(pts, base_res=0.4, max_depth=4, cap=120,
+                             lon="cx", lat="cy")
+        rows = out.collect()
+        assert len(rows) == 4000  # every point assigned exactly once
+        occ = {}
+        for r in rows:
+            occ[(r.level, r.cell)] = occ.get((r.level, r.cell), 0) + 1
+        # cells below max depth respect the cap
+        for (lvl, _), n in occ.items():
+            if lvl < 4:
+                assert n <= 120
+        # HOT points tile strictly deeper than the background median
+        import statistics
+        hot_lvls = [r.level for r in rows if r.i % 5 == 0]
+        bg_lvls = [r.level for r in rows if r.i % 5 != 0]
+        assert statistics.median(hot_lvls) > statistics.median(bg_lvls)
+
+    def test_counts_broadcast(self, spark):
+        from geo_epic_spark.operators.spatial import adaptive_cells
+
+        pts = synth.images_meta_df(spark, 1000).select("i", "cx", "cy")
+        plan = (adaptive_cells(pts, base_res=0.4, max_depth=3, cap=100,
+                               lon="cx", lat="cy")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan

@@ -246,3 +246,39 @@ def test_build_opc_schedules_composition(spark):
     assert str(rows[("s1", 2020, 2)]["date"]) == "2020-10-10"
     # s2 anchors independent of s1
     assert str(rows[("s2", 2019, 1)]["date"]) == "2019-04-25"
+
+
+class TestTrajectory:
+    def test_straight_line_track(self, spark):
+        from geo_epic_spark.operators.trajectory import trajectory_stats
+
+        rows = [(0, s, float(s) * 3.0, float(s) * 4.0) for s in range(5)]
+        df = spark.createDataFrame(rows, "track_id long, seq long, lon double, lat double")
+        r = trajectory_stats(df).collect()[0]
+        assert r.n_points == 5
+        assert r.path_len == pytest.approx(20.0)       # 4 steps of length 5
+        assert r.displacement == pytest.approx(20.0)
+        assert r.straightness == pytest.approx(1.0)
+        assert r.max_step == pytest.approx(5.0)
+
+    def test_closed_loop_zero_displacement(self, spark):
+        from geo_epic_spark.operators.trajectory import trajectory_stats
+
+        sq = [(1, 0, 0.0, 0.0), (1, 1, 1.0, 0.0), (1, 2, 1.0, 1.0),
+              (1, 3, 0.0, 1.0), (1, 4, 0.0, 0.0)]
+        df = spark.createDataFrame(sq, "track_id long, seq long, lon double, lat double")
+        r = trajectory_stats(df).collect()[0]
+        assert r.path_len == pytest.approx(4.0)
+        assert r.displacement == pytest.approx(0.0)
+        assert r.straightness == pytest.approx(0.0)
+
+    def test_synth_tracks_shape(self, spark):
+        from geo_epic_spark import synth
+        from geo_epic_spark.operators.trajectory import trajectory_stats
+
+        out = trajectory_stats(synth.tracks_df(spark, 50, 20)).collect()
+        assert len(out) == 50
+        for r in out:
+            assert r.n_points == 20
+            assert r.path_len >= r.displacement - 1e-12
+            assert r.straightness is None or 0.0 <= r.straightness <= 1.0 + 1e-12
