@@ -4884,6 +4884,86 @@ def _sql_trajectory() -> str:
     """
 
 
+def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal joint near-dup (`dedup.crossmodal_near_dup`): pairs must
+    be BOTH perceptually close (phash hamming <= 4, pigeonhole banding)
+    AND caption-equivalent (word-bigram Jaccard >= 0.5, verified on
+    candidates only). Planted: every doc < 60 gets a 2-bit-flipped phash
+    copy; EVEN copies keep the caption (joint dup — must pair), ODD copies
+    get the word-REVERSED caption (caption mismatch — the Jaccard verify
+    must reject them even though the image side matches). Oracle:
+    brute-force all-pairs over the same synthetic hashes + bigram sets."""
+    from geo_epic_spark.operators.dedup import crossmodal_near_dup
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 300").select("doc_id", "text")
+    i = F.col("doc_id")
+    h = (
+        F.pmod(i * F.lit(2654435761) + F.lit(17), F.lit(2147483648))
+        * F.lit(4294967296)
+        + F.pmod(i * F.lit(2246822519) + F.lit(101), F.lit(4294967296))
+    )
+    base = d.select(i.alias("img_id"), h.alias("phash"), F.col("text").alias("caption"))
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pmod(doc_id * 7, 63) AS INT))"
+        " | shiftleft(CAST(1 AS BIGINT), CAST(pmod(doc_id * 13, 63) AS INT))"
+    )
+    copies = d.filter("doc_id < 60").select(
+        (i + F.lit(300)).alias("img_id"),
+        h.bitwiseXOR(mask).alias("phash"),
+        F.when(i % 2 == 0, F.col("text"))
+        .otherwise(F.concat_ws(" ", F.reverse(F.split(F.col("text"), r"\s+"))))
+        .alias("caption"),
+    )
+    out = crossmodal_near_dup(
+        base.unionAll(copies), key="img_id", hash_col="phash",
+        text="caption", max_hamming=4, min_jaccard=0.5, n=2)
+    return _r6(
+        out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"),
+                   "jaccard"),
+        ["jaccard"])
+
+
+def _sql_crossmodal_dedup() -> str:
+    bigrams = (
+        "list_distinct([array_to_string(w[i:i+1], ' ') "
+        "FOR i IN range(1, greatest(len(w) - 1, 0) + 1)])"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             (doc_id * 2654435761 + 17) % 2147483648 * 4294967296
+             + (doc_id * 2246822519 + 101) % 4294967296 AS phash
+      FROM documents WHERE doc_id < 300
+    ),
+    base AS (SELECT doc_id AS img_id, phash, text AS caption, doc_id AS i FROM d),
+    copies AS (
+      SELECT i + 300 AS img_id,
+             xor(phash, (CAST(1 AS BIGINT) << CAST((i * 7) % 63 AS INT))
+                      | (CAST(1 AS BIGINT) << CAST((i * 13) % 63 AS INT))) AS phash,
+             CASE WHEN i % 2 = 0 THEN caption
+                  ELSE array_to_string(list_reverse(string_split_regex(caption, '\\s+')), ' ')
+             END AS caption
+      FROM base WHERE i < 60
+    ),
+    allr AS (
+      SELECT img_id, phash,
+             {bigrams.replace('w[', 'g[').replace('len(w)', 'len(g)')} AS grams
+      FROM (SELECT img_id, phash, string_split_regex(caption, '\\s+') AS g
+            FROM (SELECT img_id, phash, caption FROM base
+                  UNION ALL SELECT img_id, phash, caption FROM copies))
+    )
+    SELECT a.img_id AS id_a, b.img_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 6) AS jaccard
+    FROM allr a JOIN allr b ON a.img_id < b.img_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 4
+      AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5055,6 +5135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,            # MERGE INTO upsert
         "q_adaptive_cells": q_adaptive_cells,        # quadtree skew tiling
         "q_trajectory": q_trajectory,                # per-track GPS analytics
+        "q_crossmodal_dedup": q_crossmodal_dedup,    # image+caption joint dedup
     }
 
 
@@ -5172,4 +5253,5 @@ def oracle_sql() -> dict[str, str]:
         "q_merge_upsert": _sql_merge_upsert(),
         "q_adaptive_cells": _sql_adaptive_cells(),
         "q_trajectory": _sql_trajectory(),
+        "q_crossmodal_dedup": _sql_crossmodal_dedup(),
     }

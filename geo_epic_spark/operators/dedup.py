@@ -574,8 +574,12 @@ def hamming_near_dup_pairs(
         blocks.append((off, w))
         off += w
     h = F.col(hash_col)
+    # w == 64 (m == 1, the max_hamming=0 degenerate case) would build the
+    # mask (1 << 64) - 1, which overflows a Java long in F.lit; all-ones in
+    # two's complement is -1, and the AND is then the identity anyway
     block_vals = [
-        F.shiftrightunsigned(h, off).bitwiseAND(F.lit((1 << w) - 1))
+        F.shiftrightunsigned(h, off).bitwiseAND(
+            F.lit(-1 if w >= 64 else (1 << w) - 1))
         for off, w in blocks
     ]
     keys = F.array(*[
@@ -996,4 +1000,62 @@ def semantic_dedup(
             "cluster_id",
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def crossmodal_near_dup(
+    df: DataFrame,
+    key: str = "img_id",
+    hash_col: str = "phash",
+    text: str = "caption",
+    max_hamming: int = 4,
+    min_jaccard: float = 0.5,
+    n: int = 2,
+) -> DataFrame:
+    """Image+caption JOINT near-duplicate pairs: perceptually-close images
+    (phash hamming <= max_hamming) whose captions also agree (word n-gram
+    Jaccard >= min_jaccard). The laion/datacomp-style cross-modal dedup
+    rule — a re-crop of the same photo with a rewritten caption is NOT a
+    duplicate pair for caption-supervised training.
+
+    Composition is the scale story: candidates come from the CHEAP modality
+    (fixed-width phash pigeonhole bands — `hamming_near_dup_pairs`), and
+    the caption n-gram Jaccard is verified on candidates only, as pure
+    Column set arithmetic after two key-joins to fetch the captions. The
+    expensive modality never generates pairs, so the shuffle volume is the
+    image-banding one.
+
+    Output: (id_a, id_b, hamming, jaccard), id_a < id_b.
+    """
+    pairs = hamming_near_dup_pairs(
+        df.select(key, hash_col), key=key, hash_col=hash_col,
+        max_hamming=max_hamming,
+    )
+    w = F.split(F.col(text), r"\s+")
+    # guard the short-text case BEFORE building the sequence: under ANSI,
+    # sequence(1, 0) DESCENDS (the q_bpe_train lesson) — texts with fewer
+    # than n words get an empty gram set instead
+    grams = F.when(
+        F.size(w) >= F.lit(n),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + F.lit(k)) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    caps = df.select(F.col(key), grams.alias("__g"))
+    a = caps.select(F.col(key).alias("id_a"), F.col("__g").alias("__ga"))
+    b = caps.select(F.col(key).alias("id_b"), F.col("__g").alias("__gb"))
+    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
+    union = F.size(F.col("__ga")) + F.size(F.col("__gb")) - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", "hamming", "jaccard")
     )

@@ -719,3 +719,47 @@ def test_hamming_near_dup_invariant_to_block_count(spark):
     ]
     assert results[0] == results[1] == results[2]
     assert len(results[0]) >= 12
+
+
+class TestCrossmodal:
+    def test_joint_rule_rejects_caption_mismatch(self, spark):
+        from geo_epic_spark.operators.dedup import crossmodal_near_dup
+
+        rows = [
+            (0, 0b1111000011110000, "a red barn beside the river"),
+            # same image (1-bit flip), same caption -> joint dup
+            (1, 0b1111000011110001, "a red barn beside the river"),
+            # same image (2-bit flip), rewritten caption -> NOT a dup
+            (2, 0b1111000011110011, "storm clouds over the city"),
+            # same caption, unrelated image -> NOT a dup
+            (3, 0b0000111100001111, "a red barn beside the river"),
+            # short caption edge case: fewer than n words -> empty grams
+            (4, 0b1111000011111111, "barn"),
+        ]
+        df = spark.createDataFrame(rows, "img_id long, phash long, caption string")
+        got = {(r.id_a, r.id_b): (r.hamming, r.jaccard)
+               for r in crossmodal_near_dup(df, max_hamming=4, min_jaccard=0.5,
+                                            n=2).collect()}
+        assert set(got) == {(0, 1)}
+        assert got[(0, 1)][0] == 1 and got[(0, 1)][1] == 1.0
+
+    def test_jaccard_value(self, spark):
+        from geo_epic_spark.operators.dedup import crossmodal_near_dup
+
+        rows = [(0, 7, "a b c d"), (1, 7, "a b c e")]
+        df = spark.createDataFrame(rows, "img_id long, phash long, caption string")
+        r = crossmodal_near_dup(df, max_hamming=4, min_jaccard=0.1, n=2).collect()[0]
+        # bigrams {ab,bc,cd} vs {ab,bc,ce}: inter 2, union 4
+        assert r.jaccard == pytest.approx(0.5)
+
+    def test_hamming_zero_degenerate(self, spark):
+        # max_hamming=0 makes m=1 / a full 64-bit block: the (1<<64)-1 mask
+        # used to overflow F.lit (regression for the two's-complement fix)
+        from geo_epic_spark.operators.dedup import hamming_near_dup_pairs
+
+        df = spark.createDataFrame([(0, 7), (1, 7), (2, -9223372036854775808)],
+                                   "img_id long, phash long")
+        got = [(r.id_a, r.id_b, r.hamming) for r in
+               hamming_near_dup_pairs(df, key="img_id", hash_col="phash",
+                                      max_hamming=0).collect()]
+        assert got == [(0, 1, 0)]
