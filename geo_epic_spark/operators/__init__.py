@@ -55,3 +55,21 @@ from geo_epic_spark.operators.timeseries import (  # noqa: F401
     pair_seasons,
     rolling_median,
 )
+from geo_epic_spark.operators.overlay import (  # noqa: F401
+    clip_area_convex,
+    overlay_join,
+    rect_overlap_expr,
+)
+from geo_epic_spark.operators.mapalgebra import (  # noqa: F401
+    focal_stats,
+    regrid_bilinear,
+    slope_aspect,
+)
+from geo_epic_spark.operators.geocluster import (  # noqa: F401
+    density_cluster,
+    radius_join,
+)
+from geo_epic_spark.operators.trajectory import trajectory_stats  # noqa: F401
+from geo_epic_spark.operators.relational import merge_upsert  # noqa: F401
+from geo_epic_spark.operators.spatial import adaptive_cells  # noqa: F401
+from geo_epic_spark.operators.dedup import crossmodal_near_dup  # noqa: F401

@@ -37,6 +37,10 @@ REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
 OP = os.environ.get("SCALING_OP", "pip")
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "300000"))
 N_HASH = int(os.environ.get("SCALING_N_HASH", "8000000"))
+# focal: single-Exchange scatter/aggregate map algebra over an N_CELLS DEM
+# (nc fixed at 6000 columns) — the shuffle-AGGREGATE kernel class, distinct
+# from the join-bound pip/minhash/hamming evidence
+N_CELLS = int(os.environ.get("SCALING_N_CELLS", "24000000"))
 # N and 4N parallelism levels. Default 4->16: with 32 physical cores the
 # 8->32 pair saturates the socket's memory bandwidth probing the shared
 # broadcast hash table (a single-box artifact a multi-executor cluster does
@@ -95,6 +99,16 @@ def measure(cpus: int) -> dict:
                 hashes, key="img_id", hash_col="phash", max_hamming=4,
                 expected_n=N_HASH + N_HASH // 20,
             ).count()
+    elif OP == "focal":
+        from geo_epic_spark.operators.mapalgebra import focal_stats
+
+        nc = 6000
+        nr = N_CELLS // nc
+        dem = synth.elev_grid_df(spark, nr, nc, 0.01)
+
+        def job():
+            return focal_stats(dem, nc=nc, nr=nr, value="elev",
+                               stats=("mean", "count")).count()
     else:
         imgs = synth.images_meta_df(spark, N_IMG).select("i", "cx", "cy")
         flds = synth.fields_df(spark, N_POLY).select("poly_id", "xs", "ys")
