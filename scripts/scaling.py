@@ -154,13 +154,14 @@ def main() -> None:
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
         res[cpus] = json.loads(line[len("RESULT "):])
-    n_rows = {"minhash": N_DOCS, "hamming": N_HASH}.get(OP, N_IMG)
+    n_rows = {"minhash": N_DOCS, "hamming": N_HASH, "focal": N_CELLS}.get(OP, N_IMG)
     thr_lo = n_rows / res[lo]["sec"]
     thr_hi = n_rows / res[hi]["sec"]
     eff = thr_hi / ((hi / lo) * thr_lo)
     print(json.dumps({
         "job": {"minhash": "minhash_lsh_pairs (dedup)",
-                "hamming": "hamming_near_dup_pairs (image dedup)"}.get(
+                "hamming": "hamming_near_dup_pairs (image dedup)",
+                "focal": "focal_stats (scatter/aggregate map algebra)"}.get(
                     OP, "tile_assign (PIP join)"),
         "n_images": n_rows,
         "n_polys": N_POLY,
