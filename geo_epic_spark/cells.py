@@ -214,3 +214,98 @@ def sql_zorder_key(lon_expr: str, lat_expr: str, bits: int = 16) -> str:
     qr = f"CAST(least(floor(({lat_expr} + 90.0) / 180.0 * {float(n)!r}), {n - 1}) AS BIGINT)"
     qc = f"CAST(least(floor(({lon_expr} + 180.0) / 360.0 * {float(n)!r}), {n - 1}) AS BIGINT)"
     return f"({spread(qc)} | ({spread(qr)} << 1))"
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal cells (H3-style axial index, planar) — the same three dialects
+# ---------------------------------------------------------------------------
+
+#: sqrt(3)/3 and 2/3 as explicit double literals so every engine computes
+#: the identical fractional axial coordinates (no library sqrt at plan time)
+_SQRT3_3 = 0.5773502691896257
+_TWO_3 = 0.6666666666666666
+_ONE_3 = 0.3333333333333333
+_HEX_OFF = 2**20  # keeps axial coords positive before packing
+
+
+def _hex_frac(lon: Column, lat: Column, size: float) -> tuple[Column, Column]:
+    q = (lon * F.lit(_SQRT3_3) - lat * F.lit(_ONE_3)) / F.lit(size)
+    r = (lat * F.lit(_TWO_3)) / F.lit(size)
+    return q, r
+
+
+def hex_cell_id(lon: Column, lat: Column, size: float) -> Column:
+    """Pointy-top hexagonal cell id (H3-style axial index, planar degrees):
+    fractional axial coords -> cube rounding -> packed (r, q) long.
+
+    Rounding uses floor(x + 0.5) explicitly (dialect-identical), and the
+    cube constraint x+y+z=0 is restored by recomputing the axis with the
+    largest rounding error — all comparisons on the same doubles in every
+    engine, so assignment is bit-reproducible (`sql_hex_cell_id` mirror).
+    """
+    q, r = _hex_frac(lon, lat, size)
+    y = -q - r
+    rq = F.floor(q + F.lit(0.5))
+    ry = F.floor(y + F.lit(0.5))
+    rr = F.floor(r + F.lit(0.5))
+    dq = F.abs(rq.cast("double") - q)
+    dy = F.abs(ry.cast("double") - y)
+    dr = F.abs(rr.cast("double") - r)
+    fq = F.when((dq > dy) & (dq > dr), -ry - rr).otherwise(rq)
+    fr = F.when(~((dq > dy) & (dq > dr)) & (dr > dy), -rq - ry).otherwise(rr)
+    return (fr + F.lit(_HEX_OFF)) * F.lit(_SHIFT) + (fq + F.lit(_HEX_OFF))
+
+
+def sql_hex_cell_id(lon_expr: str, lat_expr: str, size: float) -> str:
+    """DuckDB mirror of `hex_cell_id` — identical literals, identical
+    operation order, identical tie-breaks."""
+    q = f"(({lon_expr}) * {_SQRT3_3!r} - ({lat_expr}) * {_ONE_3!r}) / {size!r}"
+    r = f"(({lat_expr}) * {_TWO_3!r}) / {size!r}"
+    y = f"(-({q}) - ({r}))"
+    rq, ry, rr = (f"floor(({e}) + 0.5)" for e in (q, y, r))
+    dq = f"abs({rq} - ({q}))"
+    dy = f"abs({ry} - ({y}))"
+    dr = f"abs({rr} - ({r}))"
+    big_q = f"({dq} > {dy} AND {dq} > {dr})"
+    fq = f"(CASE WHEN {big_q} THEN -{ry} - {rr} ELSE {rq} END)"
+    fr = f"(CASE WHEN NOT {big_q} AND {dr} > {dy} THEN -{rq} - {ry} ELSE {rr} END)"
+    return (f"(CAST({fr} AS BIGINT) + {_HEX_OFF}) * {_SHIFT}"
+            f" + (CAST({fq} AS BIGINT) + {_HEX_OFF})")
+
+
+def np_hex_cell_id(lon: np.ndarray, lat: np.ndarray, size: float) -> np.ndarray:
+    q = (lon * _SQRT3_3 - lat * _ONE_3) / size
+    r = (lat * _TWO_3) / size
+    y = -q - r
+    rq, ry, rr = np.floor(q + 0.5), np.floor(y + 0.5), np.floor(r + 0.5)
+    dq, dy, dr = np.abs(rq - q), np.abs(ry - y), np.abs(rr - r)
+    big_q = (dq > dy) & (dq > dr)
+    fq = np.where(big_q, -ry - rr, rq)
+    fr = np.where(~big_q & (dr > dy), -rq - ry, rr)
+    return (fr.astype(np.int64) + _HEX_OFF) * _SHIFT + (fq.astype(np.int64) + _HEX_OFF)
+
+
+def hex_center(cid: Column, size: float) -> tuple[Column, Column]:
+    """Planar center (lon, lat) of a hex cell id."""
+    fr = (cid / F.lit(_SHIFT)).cast("long") - F.lit(_HEX_OFF)
+    fq = (cid % F.lit(_SHIFT)) - F.lit(_HEX_OFF)
+    # inverse of the axial transform: x = s*sqrt(3)*(q + r/2), y = s*3/2*r
+    lon = F.lit(size) * F.lit(1.7320508075688772) * (
+        fq.cast("double") + fr.cast("double") / F.lit(2.0))
+    lat = F.lit(size) * F.lit(1.5) * fr.cast("double")
+    return lon, lat
+
+
+def hex_ring(cid: Column, k: int) -> Column:
+    """array<long> of hex cells within axial distance ``k`` (the hex k-ring,
+    incl. the cell itself) — the neighbor-expansion primitive for hex-grid
+    kNN, mirroring `k_ring` on the square lattice. Hex distance between
+    axial cells is (|dq| + |dr| + |dq+dr|) / 2."""
+    fr = (cid / F.lit(_SHIFT)).cast("long")
+    fq = cid % F.lit(_SHIFT)
+    out = []
+    for dq in range(-k, k + 1):
+        for dr in range(-k, k + 1):
+            if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= k:
+                out.append((fr + F.lit(dr)) * F.lit(_SHIFT) + (fq + F.lit(dq)))
+    return F.array(*out)
