@@ -4964,6 +4964,38 @@ def _sql_crossmodal_dedup() -> str:
     """
 
 
+def q_hex_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal cell assignment (`cells.hex_cell_id`, the H3-style axial
+    index of the north star): every image center binned into its planar
+    hex cell via cube rounding — floor(x+0.5) rounding and largest-error
+    axis restoration with identical double literals in both engines, so
+    the assignment is bit-reproducible. Output: per-hex occupancy + the
+    hex center (inverse axial transform)."""
+    pts = synth.images_meta_df(spark, N_IMG).select("i", "cx", "cy")
+    cid = cells.hex_cell_id(F.col("cx"), F.col("cy"), 0.05)
+    binned = pts.select(cid.alias("hex"))
+    lon_c, lat_c = cells.hex_center(F.col("hex"), 0.05)
+    return _r6(
+        binned.groupBy("hex").agg(F.count(F.lit(1)).alias("n_points"))
+        .select("hex", "n_points", lon_c.alias("hx"), lat_c.alias("hy")),
+        ["hx", "hy"])
+
+
+def _sql_hex_assign() -> str:
+    cid = cells.sql_hex_cell_id("cx", "cy", 0.05)
+    return f"""
+    WITH pts AS (SELECT cx, cy FROM ({synth.images_meta_sql(N_IMG)})),
+    binned AS (SELECT {cid} AS hex FROM pts),
+    agg AS (SELECT hex, COUNT(*) AS n_points FROM binned GROUP BY hex)
+    SELECT hex, n_points,
+           ROUND(0.05 * 1.7320508075688772
+                 * ((hex % 4294967296) - 1048576
+                    + ((hex // 4294967296) - 1048576) / 2.0), 6) AS hx,
+           ROUND(0.05 * 1.5 * ((hex // 4294967296) - 1048576), 6) AS hy
+    FROM agg
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5136,6 +5168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_adaptive_cells": q_adaptive_cells,        # quadtree skew tiling
         "q_trajectory": q_trajectory,                # per-track GPS analytics
         "q_crossmodal_dedup": q_crossmodal_dedup,    # image+caption joint dedup
+        "q_hex_assign": q_hex_assign,                # H3-style hex cell binning
     }
 
 
@@ -5254,4 +5287,5 @@ def oracle_sql() -> dict[str, str]:
         "q_adaptive_cells": _sql_adaptive_cells(),
         "q_trajectory": _sql_trajectory(),
         "q_crossmodal_dedup": _sql_crossmodal_dedup(),
+        "q_hex_assign": _sql_hex_assign(),
     }

@@ -147,3 +147,45 @@ def test_zorder_locality_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestHexCells:
+    def test_assignment_is_nearest_center(self, spark):
+        import numpy as np
+        from geo_epic_spark import cells as C
+
+        rng = np.random.RandomState(3)
+        lon = rng.uniform(-100, -96, 5000)
+        lat = rng.uniform(40, 42, 5000)
+        cid = C.np_hex_cell_id(lon, lat, 0.05)
+        fr = (cid // C._SHIFT) - C._HEX_OFF
+        fq = (cid % C._SHIFT) - C._HEX_OFF
+        cx = 0.05 * 1.7320508075688772 * (fq + fr / 2.0)
+        cy = 0.05 * 1.5 * fr
+        # every point lies within the circumradius of its assigned hex
+        assert np.hypot(lon - cx, lat - cy).max() <= 0.05 + 1e-9
+
+    def test_spark_matches_numpy(self, spark):
+        import numpy as np
+        import pyspark.sql.functions as F
+        from geo_epic_spark import cells as C, synth
+
+        pts = synth.images_meta_df(spark, 2000).select("i", "cx", "cy")
+        got = {r.i: r.h for r in pts.select(
+            "i", C.hex_cell_id(F.col("cx"), F.col("cy"), 0.05).alias("h")).collect()}
+        m = synth.images_meta_np(2000)
+        want = C.np_hex_cell_id(m["cx"], m["cy"], 0.05)
+        assert all(got[i] == want[i] for i in range(2000))
+
+    def test_hex_ring_sizes(self, spark):
+        import pyspark.sql.functions as F
+        from geo_epic_spark import cells as C
+
+        df = spark.createDataFrame([(C.np_hex_cell_id(
+            __import__("numpy").array([-98.0]),
+            __import__("numpy").array([41.0]), 0.05)[0].item(),)], "cid long")
+        sizes = df.select(
+            F.size(C.hex_ring(F.col("cid"), 1)).alias("r1"),
+            F.size(C.hex_ring(F.col("cid"), 2)).alias("r2"),
+        ).collect()[0]
+        assert sizes.r1 == 7 and sizes.r2 == 19  # 1 + 3k(k+1)
