@@ -4996,6 +4996,74 @@ def _sql_hex_assign() -> str:
     """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM event-time interval join executed on the actual
+    streaming path (`streaming/stateful.interval_join_streams`): error
+    events replayed through one readStream, click events through another,
+    joined on user within a 12-hour lookback — watermarks on BOTH sides +
+    explicit time bounds in the condition (the state-expiry requirements),
+    availableNow into a memory sink. Oracle: the equivalent batch interval
+    join — micro-batched stateful plan ≡ batch plan, row for row."""
+    import hashlib
+    import shutil
+    import uuid
+
+    from geo_epic_spark.streaming.stateful import interval_join_streams
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    src_dir = _scratch(f"stream_src_events_{tag}")
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    schema = _t(spark, sf_dir, "events").schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema).parquet(src_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    errors = stream().where("event_type = 'error'").select(
+        F.col("event_id").alias("eid"), "user_id", F.col("ts").alias("ts_l"))
+    clicks = stream().where("event_type = 'click'").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("user_id"),
+        F.col("ts").alias("ts_r"))
+    joined = interval_join_streams(
+        errors, clicks, key="user_id", lookback="12 hours", watermark="24 hours")
+    name = "qsj_" + uuid.uuid4().hex[:8]
+    ckpt = _scratch("stream_ckpt_" + name)
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).select(
+        "eid", "cid", "user_id",
+        F.date_format("ts_l", "yyyy-MM-dd HH:mm:ss").alias("ts_l"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("ts_r"),
+    )
+
+
+def _sql_stream_join() -> str:
+    return """
+    WITH l AS (
+      SELECT event_id AS eid, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    r AS (
+      SELECT event_id AS cid, user_id, ts AS tsr FROM events WHERE event_type = 'click'
+    )
+    SELECT l.eid, r.cid, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_l,
+           strftime(r.tsr, '%Y-%m-%d %H:%M:%S') AS ts_r
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r.tsr >= l.ts - INTERVAL 12 HOUR
+     AND r.tsr <= l.ts
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5169,6 +5237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trajectory": q_trajectory,                # per-track GPS analytics
         "q_crossmodal_dedup": q_crossmodal_dedup,    # image+caption joint dedup
         "q_hex_assign": q_hex_assign,                # H3-style hex cell binning
+        "q_stream_join": q_stream_join,              # stream-stream interval join
     }
 
 
@@ -5288,4 +5357,5 @@ def oracle_sql() -> dict[str, str]:
         "q_trajectory": _sql_trajectory(),
         "q_crossmodal_dedup": _sql_crossmodal_dedup(),
         "q_hex_assign": _sql_hex_assign(),
+        "q_stream_join": _sql_stream_join(),
     }

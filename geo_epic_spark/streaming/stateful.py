@@ -229,3 +229,40 @@ def _duration_ms(s: str) -> int:
     mult = {"second": 1000, "minute": 60_000, "hour": 3_600_000,
             "day": 86_400_000}[unit.rstrip("s")]
     return int(n) * mult
+
+
+def interval_join_streams(
+    left,
+    right,
+    key: str = "user_id",
+    ts_left: str = "ts_l",
+    ts_right: str = "ts_r",
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """Stream-stream event-time interval join (the attribution join): each
+    LEFT event pairs with RIGHT events of the same key whose timestamp
+    falls in [left.ts - lookback, left.ts].
+
+    Both sides carry watermarks and the join condition carries explicit
+    event-time bounds — the two requirements Structured Streaming needs to
+    size and EXPIRE the join state (without the bounds the state grows
+    unboundedly; with them, rows older than watermark+lookback are evicted
+    every micro-batch). State is keyed on ``key`` — the shuffle key — so
+    hot users are the AQE-skew case exactly as in the batch engine.
+
+    Inner join only here: it is deterministic under replay (outer
+    stream-stream joins emit null-padded rows whose timing depends on
+    watermark advancement across micro-batches — replay-dependent output
+    does not belong in a correctness-gated engine surface).
+    """
+    from pyspark.sql import functions as F
+
+    l = left.withWatermark(ts_left, watermark)
+    r = right.withWatermark(ts_right, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[ts_right] >= l[ts_left] - F.expr(f"INTERVAL {lookback}"))
+        & (r[ts_right] <= l[ts_left])
+    )
+    return l.join(r, cond, "inner").drop(r[key])

@@ -269,3 +269,46 @@ def test_sessionize_stream_exact_gap_stays_in_session(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     ]
     assert rows == [(5, "2024-01-01 00:00:00", "2024-01-01 00:30:00", 2)]
+
+
+class TestIntervalJoin:
+    def test_matches_batch_join(self, spark, tmp_path):
+        import uuid
+
+        from geo_epic_spark.streaming.stateful import interval_join_streams
+
+        rows = [
+            # user 1: click 10:00, errors 10:05 (pairs) and 10:20 (outside 10m)
+            (1, "click", "2024-01-01 10:00:00"),
+            (2, "error", "2024-01-01 10:05:00"),
+            (3, "error", "2024-01-01 10:20:00"),
+            # user 2: click AFTER the error -> never pairs
+            (4, "error", "2024-01-01 11:00:00"),
+            (5, "click", "2024-01-01 11:01:00"),
+        ]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(eid, 1 if eid < 4 else 2, et, ts) for eid, et, ts in rows],
+            "event_id long, user_id long, event_type string, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+            .write.parquet(src)
+
+        def stream():
+            return spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            ).parquet(src)
+
+        errors = stream().where("event_type = 'error'").select(
+            F.col("event_id").alias("eid"), "user_id", F.col("ts").alias("ts_l"))
+        clicks = stream().where("event_type = 'click'").select(
+            F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("ts_r"))
+        joined = interval_join_streams(errors, clicks, lookback="10 minutes",
+                                       watermark="1 hour")
+        name = "tij_" + uuid.uuid4().hex[:8]
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = [(r.eid, r.cid) for r in spark.table(name).collect()]
+        assert got == [(2, 1)]
