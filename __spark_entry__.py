@@ -5064,6 +5064,47 @@ def _sql_stream_join() -> str:
     """
 
 
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group convex hull (`spatial.group_convex_hull`, Andrew monotone
+    chain in a grouped-pandas stage): each field polygon's 4 corners plus 5
+    planted interior points (midpoints + centroid — convex combinations,
+    analytically inside) per group. The hull must be EXACTLY the 4 corners
+    CCW from the lex-min corner, so the oracle emits the closed-form
+    answer from the corner coordinates: n_hull, rect area, perimeter,
+    anchor vertex. General-position correctness rides test_spatial."""
+    from geo_epic_spark.operators.spatial import group_convex_hull
+
+    f = synth.fields_df(spark, 200)
+    pts = f.select(
+        "poly_id",
+        F.explode(F.arrays_zip(
+            F.array(F.col("x0"), F.col("x1"), F.col("x1"), F.col("x0"),
+                    (F.col("x0") + F.col("x1")) / 2, (F.col("x0") + F.col("x1")) / 2,
+                    F.col("x0") * F.lit(0.75) + F.col("x1") * F.lit(0.25),
+                    F.col("x0") * F.lit(0.25) + F.col("x1") * F.lit(0.75),
+                    (F.col("x0") + F.col("x1")) / 2),
+            F.array(F.col("y0"), F.col("y0"), F.col("y1"), F.col("y1"),
+                    (F.col("y0") + F.col("y1")) / 2, F.col("y0") * F.lit(0.75) + F.col("y1") * F.lit(0.25),
+                    (F.col("y0") + F.col("y1")) / 2, (F.col("y0") + F.col("y1")) / 2,
+                    F.col("y0") * F.lit(0.25) + F.col("y1") * F.lit(0.75)),
+        )).alias("p"),
+    ).select("poly_id", F.col("p.0").alias("lon"), F.col("p.1").alias("lat"))
+    hull = group_convex_hull(pts, group="poly_id")
+    return _r6(hull.select("poly_id", "n_hull", "area", "perimeter", "x0", "y0"),
+               ["area", "perimeter", "x0", "y0"])
+
+
+def _sql_convex_hull() -> str:
+    return f"""
+    WITH f AS ({synth.fields_sql(200)})
+    SELECT poly_id, 4 AS n_hull,
+           ROUND((x1 - x0) * (y1 - y0), 6) AS area,
+           ROUND(2.0 * ((x1 - x0) + (y1 - y0)), 6) AS perimeter,
+           ROUND(x0, 6) AS x0, ROUND(y0, 6) AS y0
+    FROM f
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5238,6 +5279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crossmodal_dedup": q_crossmodal_dedup,    # image+caption joint dedup
         "q_hex_assign": q_hex_assign,                # H3-style hex cell binning
         "q_stream_join": q_stream_join,              # stream-stream interval join
+        "q_convex_hull": q_convex_hull,              # per-group monotone-chain hull
     }
 
 
@@ -5358,4 +5400,5 @@ def oracle_sql() -> dict[str, str]:
         "q_crossmodal_dedup": _sql_crossmodal_dedup(),
         "q_hex_assign": _sql_hex_assign(),
         "q_stream_join": _sql_stream_join(),
+        "q_convex_hull": _sql_convex_hull(),
     }

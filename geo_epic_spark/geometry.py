@@ -96,3 +96,65 @@ def haversine_km(lon1, lat1, lon2, lat2) -> np.ndarray:
     dlat = lat2 - lat1
     h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
     return 2.0 * r * np.arcsin(np.sqrt(h))
+
+
+def convex_hull(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Andrew monotone-chain convex hull. Returns CCW hull vertices starting
+    from the lexicographically smallest point; strictly convex (collinear
+    boundary points dropped). O(n log n) in the sort."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    pts = np.unique(np.column_stack([xs, ys]), axis=0)  # lex-sorted unique
+    if len(pts) <= 2:
+        return pts[:, 0], pts[:, 1]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0.0:
+                    out.pop()
+                else:
+                    break
+            out.append((p[0], p[1]))
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    h = np.asarray(hull)
+    return h[:, 0], h[:, 1]
+
+
+def simplify_dp(xs: np.ndarray, ys: np.ndarray, tol: float) -> tuple[np.ndarray, np.ndarray]:
+    """Douglas-Peucker polyline simplification: keep endpoints, recursively
+    keep the farthest-off-chord vertex while its perpendicular distance
+    exceeds ``tol``. Iterative stack (no recursion-depth limit)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    n = len(xs)
+    if n <= 2:
+        return xs, ys
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        ax, ay, bx, by = xs[a], ys[a], xs[b], ys[b]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        i = np.arange(a + 1, b)
+        if seg2 == 0.0:
+            d = np.hypot(xs[i] - ax, ys[i] - ay)
+        else:
+            d = np.abs(dx * (ys[i] - ay) - dy * (xs[i] - ax)) / np.sqrt(seg2)
+        j = int(i[np.argmax(d)])
+        if d.max() > tol:
+            keep[j] = True
+            stack.append((a, j))
+            stack.append((j, b))
+    return xs[keep], ys[keep]

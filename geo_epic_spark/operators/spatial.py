@@ -772,3 +772,82 @@ def adaptive_cells(
         (F.lit(float(base_res))
          / F.pow(F.lit(2.0), F.col("__s.level").cast("double"))).alias("cell_res"),
     )
+
+
+def group_convex_hull(
+    points: DataFrame,
+    group: str = "group_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-group convex hull (Andrew monotone chain in an Arrow-batched
+    grouped-pandas stage): one shuffle keyed on the group, then O(n log n)
+    per group. Output: group + hull vertex arrays + n_hull + area +
+    perimeter + the lex-smallest vertex (a deterministic anchor — the hull
+    starts there, CCW), so downstream overlay/PIP operators can consume
+    the hull as a normal vertex-array polygon."""
+    import pandas as pd
+
+    from geo_epic_spark import geometry
+
+    schema = (
+        f"{group} long, xs array<double>, ys array<double>, "
+        "n_hull int, area double, perimeter double, x0 double, y0 double"
+    )
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        hx, hy = geometry.convex_hull(pdf[lon].to_numpy(), pdf[lat].to_numpy())
+        area = abs(geometry.polygon_area(hx, hy)) if len(hx) >= 3 else 0.0
+        per = (
+            float(np.hypot(np.diff(np.r_[hx, hx[0]]), np.diff(np.r_[hy, hy[0]])).sum())
+            if len(hx) >= 2 else 0.0
+        )
+        return pd.DataFrame([{
+            group: pdf[group].iloc[0],
+            "xs": hx.tolist(), "ys": hy.tolist(),
+            "n_hull": len(hx), "area": area, "perimeter": per,
+            "x0": float(hx[0]) if len(hx) else None,
+            "y0": float(hy[0]) if len(hy) else None,
+        }])
+
+    return points.groupBy(group).applyInPandas(one, schema=schema)
+
+
+def simplify_polygons(
+    polys: DataFrame,
+    tol: float,
+    xs: str = "xs",
+    ys: str = "ys",
+) -> DataFrame:
+    """Douglas-Peucker vertex reduction per polygon (map-only Arrow stage):
+    replaces the vertex arrays with the simplified ones and appends
+    n_before / n_after. The closing edge is preserved by anchoring the
+    polyline at the first vertex."""
+    import pandas as pd
+
+    from geo_epic_spark import geometry
+
+    out_fields = [f for f in polys.schema.fields if f.name not in (xs, ys)]
+    schema_str = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
+        + [f"{xs} array<double>", f"{ys} array<double>",
+           "n_before int", "n_after int"]
+    )
+
+    def batch(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                px = np.asarray(row[xs], dtype=np.float64)
+                py = np.asarray(row[ys], dtype=np.float64)
+                # close the ring so the last->first edge constrains DP too
+                cx, cy = np.r_[px, px[0]], np.r_[py, py[0]]
+                sx, sy = geometry.simplify_dp(cx, cy, tol)
+                sx, sy = sx[:-1], sy[:-1]  # reopen
+                d = {f.name: row[f.name] for f in out_fields}
+                d.update({xs: sx.tolist(), ys: sy.tolist(),
+                          "n_before": len(px), "n_after": len(sx)})
+                rows.append(d)
+            yield pd.DataFrame(rows)
+
+    return polys.mapInPandas(batch, schema=schema_str)
