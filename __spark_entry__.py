@@ -5105,6 +5105,47 @@ def _sql_convex_hull() -> str:
     """
 
 
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation (`geocluster.idw_interpolate`,
+    power 2): each image center interpolates elevation from DEM stations
+    within 0.4° — covering-cell candidate join (stations broadcast), one
+    target-keyed aggregate. 1/d² weights are exact divisions (no pow), so
+    the oracle replays identical arithmetic and only the sum order needs
+    6dp rounding."""
+    from geo_epic_spark.operators.geocluster import idw_interpolate
+
+    stations = synth.elev_grid_df(spark, 12, 20, 0.25).select(
+        F.col("lon").alias("slon"), F.col("lat").alias("slat"),
+        F.col("elev").alias("v"))
+    targets = synth.images_meta_df(spark, 2000).select(
+        F.col("i").alias("target_id"), "cx", "cy")
+    out = idw_interpolate(targets, stations, radius=0.4,
+                          lon="cx", lat="cy")
+    return _r6(out, ["v_idw"])
+
+
+def _sql_idw() -> str:
+    return f"""
+    WITH st AS ({synth.elev_grid_sql(12, 20, 0.25)}),
+         t AS (SELECT i AS target_id, cx, cy FROM ({synth.images_meta_sql(2000)})),
+         cand AS (
+           SELECT t.target_id, st.elev AS v,
+                  (t.cx - st.lon) * (t.cx - st.lon)
+                  + (t.cy - st.lat) * (t.cy - st.lat) AS d2
+           FROM t JOIN st
+             ON (t.cx - st.lon) * (t.cx - st.lon)
+                + (t.cy - st.lat) * (t.cy - st.lat) <= 0.4 * 0.4
+         )
+    SELECT target_id,
+           ROUND(COALESCE(
+             MIN(CASE WHEN d2 = 0 THEN v END),
+             SUM(CASE WHEN d2 = 0 THEN 0.0 ELSE (1.0 / d2) * v END)
+             / SUM(CASE WHEN d2 = 0 THEN 0.0 ELSE 1.0 / d2 END)), 6) AS v_idw,
+           COUNT(*) AS n_samples
+    FROM cand GROUP BY target_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5280,6 +5321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hex_assign": q_hex_assign,                # H3-style hex cell binning
         "q_stream_join": q_stream_join,              # stream-stream interval join
         "q_convex_hull": q_convex_hull,              # per-group monotone-chain hull
+        "q_idw": q_idw,                              # inverse-distance interpolation
     }
 
 
@@ -5401,4 +5443,5 @@ def oracle_sql() -> dict[str, str]:
         "q_hex_assign": _sql_hex_assign(),
         "q_stream_join": _sql_stream_join(),
         "q_convex_hull": _sql_convex_hull(),
+        "q_idw": _sql_idw(),
     }

@@ -143,3 +143,52 @@ def sql_density_cluster(points_sql: str, res: float, min_pts: int,
     SELECT c.{point_id}, c.cell, comp.cluster_id
     FROM cellified c LEFT JOIN comp ON c.cell = comp.cell
     """
+
+
+def idw_interpolate(
+    targets: DataFrame,
+    samples: DataFrame,
+    radius: float,
+    value: str = "v",
+    target_id: str = "target_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    sample_lon: str = "slon",
+    sample_lat: str = "slat",
+    res: float | None = None,
+    broadcast_samples: bool = True,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation (power 2): each target gets
+    sum(v_i / d_i^2) / sum(1 / d_i^2) over samples within ``radius``.
+
+    Power 2 on squared planar distance needs NO sqrt or pow — weights are
+    exact divisions, which keeps the arithmetic dialect-identical for
+    oracles. Exact-hit samples (d == 0) dominate: those targets take the
+    exact sample value (the smallest such value when several coincide —
+    a deterministic tie-break with no sample-id bookkeeping).
+
+    Plan: the `radius_join` covering-cell skeleton (samples explode their
+    disk bbox cells and broadcast; targets carry one cell) followed by one
+    target-keyed aggregate. The sample VALUE rides through the join as the
+    center id column, so no second join is needed. Targets with no sample
+    in range emit nothing.
+    """
+    cand = radius_join(
+        targets,
+        samples.select(
+            F.col(sample_lon).alias("__slon"), F.col(sample_lat).alias("__slat"),
+            F.col(value).alias("__v"),
+        ),
+        radius=radius, res=res, lon=lon, lat=lat,
+        center_id="__v", center_lon="__slon", center_lat="__slat",
+        broadcast_centers=broadcast_samples, keep_dist="__d2",
+    )
+    w = F.lit(1.0) / F.col("__d2")
+    agg = cand.groupBy(target_id).agg(
+        F.sum(F.when(F.col("__d2") == 0, 0.0).otherwise(w * F.col("__v"))).alias("__num"),
+        F.sum(F.when(F.col("__d2") == 0, 0.0).otherwise(w)).alias("__den"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min(F.when(F.col("__d2") == 0, F.col("__v"))).alias("__exact_v"),
+    )
+    out_val = F.coalesce(F.col("__exact_v"), F.col("__num") / F.col("__den"))
+    return agg.select(target_id, out_val.alias(f"{value}_idw"), "n_samples")

@@ -73,3 +73,37 @@ class TestDensityCluster:
         b = density_cluster(pts, res=0.02, min_pts=5, lon="cx", lat="cy",
                             algorithm="label")
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestIDW:
+    def test_matches_manual(self, spark):
+        import numpy as np
+
+        from geo_epic_spark.operators.geocluster import idw_interpolate
+
+        st = [(0.0, 0.0, 10.0), (1.0, 0.0, 20.0), (0.0, 1.0, 30.0)]
+        tg = [(0, 0.25, 0.25), (1, 0.9, 0.1), (2, 0.0, 0.0)]  # 2 = exact hit
+        stations = spark.createDataFrame(st, "slon double, slat double, v double")
+        targets = spark.createDataFrame(tg, "target_id long, lon double, lat double")
+        got = {r.target_id: (r.v_idw, r.n_samples)
+               for r in idw_interpolate(targets, stations, radius=2.0).collect()}
+        for tid, tx, ty in tg:
+            d2 = np.array([(tx - x) ** 2 + (ty - y) ** 2 for x, y, _ in st])
+            v = np.array([v for _, _, v in st])
+            if (d2 == 0).any():
+                want = v[d2 == 0].min()
+            else:
+                w = 1.0 / d2
+                want = (w * v).sum() / w.sum()
+            assert got[tid][0] == pytest.approx(want, rel=1e-12)
+            assert got[tid][1] == 3
+
+    def test_out_of_range_targets_absent(self, spark):
+        from geo_epic_spark.operators.geocluster import idw_interpolate
+
+        stations = spark.createDataFrame([(0.0, 0.0, 5.0)],
+                                         "slon double, slat double, v double")
+        targets = spark.createDataFrame([(0, 0.05, 0.0), (1, 9.0, 9.0)],
+                                        "target_id long, lon double, lat double")
+        got = idw_interpolate(targets, stations, radius=0.1).collect()
+        assert [r.target_id for r in got] == [0]
