@@ -5146,6 +5146,73 @@ def _sql_idw() -> str:
     """
 
 
+def q_geo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed GEOSPATIAL curation pipeline (the spatial counterpart of
+    q_curation): image tiles + their caption documents → broadcast doc
+    join → caption-length quality floor → PIP assignment to field
+    polygons → per-field rollup (image count, caption dedup via distinct
+    doc ids, mean caption length, dominant language by count with
+    deterministic tie-break). Every stage is an operator already proven
+    alone; this row proves the COMPOSITION end-to-end against one SQL
+    mirror of all four stages."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    imgs = (
+        synth.images_meta_df(spark, 4000)
+        .withColumn("doc_id", F.col("i") % F.lit(500))
+        .join(F.broadcast(docs), "doc_id")
+        .where(F.col("n_chars") >= 80)          # quality floor
+    )
+    flds = synth.fields_df(spark, 150).select("poly_id", "xs", "ys")
+    assigned = pip_join(
+        imgs.select("i", "cx", "cy", "doc_id", "lang", "n_chars"),
+        flds, res=0.05, lon="cx", lat="cy")
+    per_lang = assigned.groupBy("poly_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_lang"))
+    w = Window.partitionBy("poly_id").orderBy(
+        F.col("n_lang").desc(), F.col("lang").asc())
+    top = per_lang.withColumn("__rk", F.row_number().over(w)) \
+        .where("__rk = 1").select("poly_id", F.col("lang").alias("top_lang"))
+    roll = assigned.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.countDistinct("doc_id").alias("n_unique_docs"),
+        F.avg("n_chars").alias("mean_chars"),
+    )
+    return _r6(roll.join(top, "poly_id"), ["mean_chars"])
+
+
+def _sql_geo_pipeline() -> str:
+    return f"""
+    WITH imgs AS (
+      SELECT m.i, m.cx, m.cy, d.doc_id, d.lang, d.n_chars
+      FROM ({synth.images_meta_sql(4000)}) m
+      JOIN documents d ON d.doc_id = m.i % 500
+      WHERE d.n_chars >= 80
+    ),
+    polys AS ({synth.fields_sql(150)}),
+    assigned AS (
+      SELECT p.poly_id, i.*
+      FROM imgs i JOIN polys p
+        ON i.cx BETWEEN p.x0 AND p.x1 AND i.cy BETWEEN p.y0 AND p.y1
+    ),
+    per_lang AS (
+      SELECT poly_id, lang, COUNT(*) AS n_lang FROM assigned GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT poly_id, lang AS top_lang
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY poly_id ORDER BY n_lang DESC, lang ASC) AS rk
+            FROM per_lang)
+      WHERE rk = 1
+    )
+    SELECT a.poly_id, COUNT(*) AS n_images,
+           COUNT(DISTINCT a.doc_id) AS n_unique_docs,
+           ROUND(AVG(CAST(a.n_chars AS DOUBLE)), 6) AS mean_chars,
+           ANY_VALUE(t.top_lang) AS top_lang
+    FROM assigned a JOIN top t ON t.poly_id = a.poly_id
+    GROUP BY a.poly_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5322,6 +5389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_join": q_stream_join,              # stream-stream interval join
         "q_convex_hull": q_convex_hull,              # per-group monotone-chain hull
         "q_idw": q_idw,                              # inverse-distance interpolation
+        "q_geo_pipeline": q_geo_pipeline,            # composed spatial curation
     }
 
 
@@ -5444,4 +5512,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_join": _sql_stream_join(),
         "q_convex_hull": _sql_convex_hull(),
         "q_idw": _sql_idw(),
+        "q_geo_pipeline": _sql_geo_pipeline(),
     }
