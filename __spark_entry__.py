@@ -5213,6 +5213,55 @@ def _sql_geo_pipeline() -> str:
     """
 
 
+def q_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal raster change detection: two DEM epochs joined on cell id
+    (epoch B = epoch A + planted +8.0 jumps on ~1% of cells + sub-threshold
+    jitter elsewhere), |diff| > 2 flags exactly the planted set, changed
+    cells roll up per 8×8 block (n_changed, mean signed diff). The
+    remote-sensing change-map pattern as one equi-join + one aggregate,
+    both keyed on dense integer ids."""
+    a = synth.elev_grid_df(spark, _DEM_NR, _DEM_NC, _DEM_SP)
+    g = F.col("grid_id")
+    jump = synth.u_col(g, synth.M[2], 7) < F.lit(0.01)
+    drift = (synth.u_col(g, synth.M[3], 11) - F.lit(0.5)) * F.lit(0.8)
+    b = a.select(
+        "grid_id",
+        (F.col("elev") + F.when(jump, F.lit(8.0)).otherwise(drift)).alias("elev2"))
+    joined = a.join(b, "grid_id")
+    diff = F.col("elev2") - F.col("elev")
+    changed = joined.where(F.abs(diff) > 2.0).select(
+        "grid_id", diff.alias("d"),
+        (((g / F.lit(_DEM_NC)).cast("long") / 8).cast("long") * F.lit(1000)
+         + ((g % F.lit(_DEM_NC)) / 8).cast("long")).alias("block"))
+    return _r6(
+        changed.groupBy("block").agg(
+            F.count(F.lit(1)).alias("n_changed"),
+            F.avg("d").alias("mean_diff")),
+        ["mean_diff"])
+
+
+def _sql_change_detect() -> str:
+    uj = synth.u_sql("grid_id", synth.M[2], 7)
+    ud = synth.u_sql("grid_id", synth.M[3], 11)
+    return f"""
+    WITH a AS ({synth.elev_grid_sql(_DEM_NR, _DEM_NC, _DEM_SP)}),
+    b AS (
+      SELECT grid_id,
+             elev + CASE WHEN {uj} < 0.01 THEN 8.0
+                         ELSE ({ud} - 0.5) * 0.8 END AS elev2
+      FROM a
+    ),
+    j AS (
+      SELECT a.grid_id, b.elev2 - a.elev AS d
+      FROM a JOIN b ON a.grid_id = b.grid_id
+      WHERE abs(b.elev2 - a.elev) > 2.0
+    )
+    SELECT ((grid_id // {_DEM_NC}) // 8) * 1000 + ((grid_id % {_DEM_NC}) // 8) AS block,
+           COUNT(*) AS n_changed, ROUND(AVG(d), 6) AS mean_diff
+    FROM j GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5390,6 +5439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_convex_hull": q_convex_hull,              # per-group monotone-chain hull
         "q_idw": q_idw,                              # inverse-distance interpolation
         "q_geo_pipeline": q_geo_pipeline,            # composed spatial curation
+        "q_change_detect": q_change_detect,          # temporal raster change map
     }
 
 
@@ -5513,4 +5563,5 @@ def oracle_sql() -> dict[str, str]:
         "q_convex_hull": _sql_convex_hull(),
         "q_idw": _sql_idw(),
         "q_geo_pipeline": _sql_geo_pipeline(),
+        "q_change_detect": _sql_change_detect(),
     }
