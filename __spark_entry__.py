@@ -5262,6 +5262,74 @@ def _sql_change_detect() -> str:
     """
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (`similarity.pq_encode`/`pq_topk`, Jégou
+    2011 — the compressed-ANN third leg next to exact cosine and IVF):
+    64-dim embeddings encode into 4 subspace codes (16 codes each, argmin
+    with lowest-code ties), queries score by ADC lookup tables. Codebooks
+    are a deterministic pick (sub-slices of vec_id < 16), so the ENTIRE
+    pipeline — encode argmins, per-query LUTs, ADC sums, ranking — is
+    reproduced by the DuckDB oracle; recall-vs-exact stays in pytest."""
+    from geo_epic_spark.operators.similarity import pq_encode, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    first16 = {r.vec_id: list(r.embedding)
+               for r in e.where("vec_id < 16").collect()}
+    m, dsub = 4, 16
+    codebooks = [
+        [first16[c][i * dsub:(i + 1) * dsub] for c in sorted(first16)]
+        for i in range(m)
+    ]
+    enc = pq_encode(e, codebooks)
+    q = e.where("vec_id IN (100, 200)").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = pq_topk(enc, q, codebooks, k=5)
+    return _r6(out, ["adc_dist"])
+
+
+def _sql_pq_topk() -> str:
+    def fold(terms: str) -> str:
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}),"
+                " (acc, v) -> acc + v)")
+
+    d2_enc = fold("list_transform(range(1, 17), j -> "
+                  "(v.emb[c.sub * 16 + j] - c.cvec[j]) * (v.emb[c.sub * 16 + j] - c.cvec[j]))")
+    d_adc = fold("list_transform(range(1, 17), j -> "
+                 "(q.qv[en.sub * 16 + j] - cb.cvec[j]) * (q.qv[en.sub * 16 + j] - cb.cvec[j]))")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cb AS (
+      SELECT s.sub, e.vec_id AS code,
+             e.emb[s.sub * 16 + 1 : s.sub * 16 + 16] AS cvec
+      FROM e CROSS JOIN (SELECT CAST(range AS BIGINT) AS sub FROM range(0, 4)) s
+      WHERE e.vec_id < 16
+    ),
+    enc0 AS (
+      SELECT v.vec_id, c.sub, c.code, {d2_enc} AS d2
+      FROM e v CROSS JOIN cb c
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+        FROM enc0) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, emb AS qv FROM e WHERE vec_id IN (100, 200)),
+    adc0 AS (
+      SELECT q.q_id, en.vec_id, {d_adc} AS d
+      FROM q CROSS JOIN enc en
+      JOIN cb ON cb.sub = en.sub AND cb.code = en.code
+    ),
+    adc AS (SELECT q_id, vec_id, SUM(d) AS adc_dist FROM adc0 GROUP BY 1, 2)
+    SELECT q_id, vec_id, rank, ROUND(adc_dist, 6) AS adc_dist
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
+          FROM adc)
+    WHERE rank <= 5
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5440,6 +5508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_idw": q_idw,                              # inverse-distance interpolation
         "q_geo_pipeline": q_geo_pipeline,            # composed spatial curation
         "q_change_detect": q_change_detect,          # temporal raster change map
+        "q_pq_topk": q_pq_topk,                      # product-quantization ADC ANN
     }
 
 
@@ -5564,4 +5633,5 @@ def oracle_sql() -> dict[str, str]:
         "q_idw": _sql_idw(),
         "q_geo_pipeline": _sql_geo_pipeline(),
         "q_change_detect": _sql_change_detect(),
+        "q_pq_topk": _sql_pq_topk(),
     }

@@ -763,3 +763,44 @@ class TestCrossmodal:
                hamming_near_dup_pairs(df, key="img_id", hash_col="phash",
                                       max_hamming=0).collect()]
         assert got == [(0, 1, 0)]
+
+
+class TestPQ:
+    CB = [
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 2.0]],   # subspace 0 codebook
+        [[5.0, 5.0], [6.0, 5.0], [5.0, 7.0]],   # subspace 1 codebook
+    ]
+
+    def test_encode_and_adc_exact_on_lattice(self, spark):
+        import numpy as np
+
+        from geo_epic_spark.operators.similarity import pq_encode, pq_topk
+
+        # vectors sit EXACTLY on centroid combinations -> codes are known
+        # and ADC distance equals the true L2^2 distance
+        vecs = [(3 * a + b, self.CB[0][a] + self.CB[1][b])
+                for a in range(3) for b in range(3)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        enc = pq_encode(df, self.CB)
+        codes = {r.vec_id: list(r.pq_codes) for r in enc.collect()}
+        assert codes == {3 * a + b: [a, b] for a in range(3) for b in range(3)}
+
+        qv = [0.2, 0.1, 5.3, 5.1]
+        q = spark.createDataFrame([(0, qv)], "q_id long, q_vec array<double>")
+        got = {r.vec_id: (r.rank, r.adc_dist)
+               for r in pq_topk(enc, q, self.CB, k=9).collect()}
+        qn = np.array(qv)
+        for vid, v in vecs:
+            want = float(((qn - np.array(v)) ** 2).sum())
+            assert got[vid][1] == pytest.approx(want, rel=1e-12)
+        # nearest combination is (code 0, code 0) = vec_id 0
+        assert got[0][0] == 1
+
+    def test_tie_breaks_lowest_code(self, spark):
+        from geo_epic_spark.operators.similarity import pq_encode
+
+        cb = [[[0.0], [0.0]], [[1.0], [1.0]]]  # duplicate centroids
+        df = spark.createDataFrame([(0, [0.4, 1.1])],
+                                   "vec_id long, embedding array<double>")
+        r = pq_encode(df, cb).collect()[0]
+        assert list(r.pq_codes) == [0, 0]
