@@ -5330,6 +5330,39 @@ def _sql_pq_topk() -> str:
     """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a synthetic doc link graph (`web.pagerank`, the
+    CCNet/RefinedWeb domain-quality prior): 400 nodes, 3 out-links per
+    non-dangling node (doc_id % 7 == 0 nodes dangle and redistribute
+    uniformly), 3 power iterations at damping 0.85. The oracle replays
+    every iteration as chained CTEs with identical arithmetic; 9dp
+    rounding absorbs only sum-order ulps."""
+    from geo_epic_spark.operators.web import pagerank
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 400")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    k = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+    edges = (
+        docs.where("doc_id % 7 != 0")
+        .select(F.col("doc_id").alias("src"), k)
+        .select("src", ((F.col("src") * 31 + F.col("k") * 17) % 400).alias("dst"))
+    )
+    out = pagerank(nodes, edges, iterations=3, damping=0.85)
+    return out.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _sql_pagerank() -> str:
+    from geo_epic_spark.operators.web import sql_pagerank
+
+    inner = sql_pagerank(
+        "SELECT doc_id AS node FROM documents WHERE doc_id < 400",
+        """SELECT doc_id AS src, (doc_id * 31 + k.k * 17) % 400 AS dst
+           FROM documents, (SELECT CAST(range AS BIGINT) AS k FROM range(1, 4)) k
+           WHERE doc_id < 400 AND doc_id % 7 != 0""",
+        iterations=3, damping=0.85)
+    return f"SELECT node, ROUND(rank, 9) AS rank FROM ({inner})"
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5509,6 +5542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_pipeline": q_geo_pipeline,            # composed spatial curation
         "q_change_detect": q_change_detect,          # temporal raster change map
         "q_pq_topk": q_pq_topk,                      # product-quantization ADC ANN
+        "q_pagerank": q_pagerank,                    # link-graph quality prior
     }
 
 
@@ -5634,4 +5668,5 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_pipeline": _sql_geo_pipeline(),
         "q_change_detect": _sql_change_detect(),
         "q_pq_topk": _sql_pq_topk(),
+        "q_pagerank": _sql_pagerank(),
     }

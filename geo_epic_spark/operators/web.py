@@ -124,3 +124,104 @@ def url_dedup(
             F.count(F.lit(1)).alias("n_urls"),
         )
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    node: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a link graph — the page/domain quality
+    prior CCNet/RefinedWeb-style curation uses to weight web text.
+
+    Per iteration: one (src-keyed) join of ranks onto edges, one dst-keyed
+    contribution aggregate, and a 1-row dangling-mass aggregate (nodes
+    with no out-links redistribute uniformly) — the textbook MapReduce
+    shape. Rank frames are localCheckpoint'ed each round so K iterations
+    never hand Catalyst a K-join lineage (the bpe/cluster_pairs lesson).
+    Fixed iteration count by design: a convergence test is a driver-side
+    scalar check the caller can add, and the correctness gate needs a
+    deterministic plan.
+
+    Output: (node, rank) after ``iterations`` rounds from a uniform start.
+    """
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.select(F.col(node), F.lit(1.0 / n).alias("rank"))
+    e = edges.join(outdeg, src).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed(node, src), src)
+            .groupBy(F.col(dst).alias(node))
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+        )
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed(src, node), node, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m"))
+        )
+        # dangling mass rides as a broadcast 1-row cross join — no driver
+        # action per iteration, the whole K-round plan stays lazy
+        ranks = (
+            nodes.select(node)
+            .join(contrib, node, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                node,
+                (F.lit(base)
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("__in"), F.lit(0.0))
+                    + F.col("__m") / F.lit(float(n)))
+                 ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def sql_pagerank(
+    nodes_cte: str,
+    edges_cte: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    node: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """DuckDB mirror: the same power iteration as chained CTEs — per round
+    a contribution aggregate, a dangling-mass scalar, and the identical
+    base + damping arithmetic (same operation order)."""
+    d = repr(float(damping))
+    parts = [f"nodes AS ({nodes_cte})",
+             f"edges AS ({edges_cte})",
+             f"outdeg AS (SELECT {src} AS s, COUNT(*) AS deg FROM edges GROUP BY 1)",
+             "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+             f"r0 AS (SELECT {node} AS node, 1.0 / nn.n AS rank FROM nodes, nn)"]
+    for i in range(iterations):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(f"""c{i} AS (
+          SELECT e.{dst} AS node, SUM(r.rank / o.deg) AS cin
+          FROM edges e
+          JOIN outdeg o ON o.s = e.{src}
+          JOIN {prev} r ON r.node = e.{src}
+          GROUP BY 1
+        )""")
+        parts.append(f"""m{i} AS (
+          SELECT COALESCE(SUM(r.rank), 0.0) AS m
+          FROM {prev} r LEFT JOIN outdeg o ON o.s = r.node
+          WHERE o.s IS NULL
+        )""")
+        parts.append(f"""{cur} AS (
+          SELECT n.node,
+                 (1.0 - {d}) / nn.n
+                 + {d} * (COALESCE(c.cin, 0.0) + m{i}.m / nn.n) AS rank
+          FROM (SELECT node FROM r0) n
+          CROSS JOIN nn CROSS JOIN m{i}
+          LEFT JOIN c{i} c ON c.node = n.node
+        )""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank FROM r{iterations}")

@@ -100,3 +100,32 @@ def test_dedup_plan_is_single_hash_agg(spark):
 
     plan = formatted_plan(url_dedup(df))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+class TestPageRank:
+    def test_cycle_stays_uniform(self, spark):
+        from geo_epic_spark.operators.web import pagerank
+
+        nodes = spark.createDataFrame([(i,) for i in range(3)], "node long")
+        edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+        got = {r.node: r.rank for r in pagerank(nodes, edges, iterations=5).collect()}
+        for v in got.values():
+            assert v == pytest.approx(1.0 / 3.0, rel=1e-12)
+
+    def test_hub_and_dangling_hand_computed(self, spark):
+        from geo_epic_spark.operators.web import pagerank
+
+        # 0 -> 2, 1 -> 2; 2 dangles. One iteration from uniform 1/3:
+        # contrib(2) = 1/3 + 1/3; dangling mass = 1/3 redistributed /3
+        nodes = spark.createDataFrame([(i,) for i in range(3)], "node long")
+        edges = spark.createDataFrame([(0, 2), (1, 2)], "src long, dst long")
+        d, n = 0.85, 3
+        got = {r.node: r.rank for r in
+               pagerank(nodes, edges, iterations=1, damping=d).collect()}
+        base = (1 - d) / n
+        dshare = (1 / 3) / n
+        assert got[0] == pytest.approx(base + d * dshare, rel=1e-12)
+        assert got[1] == pytest.approx(base + d * dshare, rel=1e-12)
+        assert got[2] == pytest.approx(base + d * (2 / 3 + dshare), rel=1e-12)
+        # total mass conserved
+        assert sum(got.values()) == pytest.approx(1.0, rel=1e-12)
