@@ -442,3 +442,43 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(q_key, key, "rank", "adc_dist")
     )
+
+
+def pq_topk_rerank(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 200,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    q_key: str = "q_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """Production PQ retrieval: ADC shortlist of ``shortlist`` candidates
+    from the codes column, then EXACT squared-L2 re-rank of the shortlist
+    against the float vectors — the standard two-stage pattern that
+    recovers near-exact recall while the full-corpus scan still never
+    touches the embeddings (measured on the synthetic corpus: recall@10
+    0.33 ADC-only -> 0.86/0.965/1.0 at R=50/100/200; RECALL.md).
+
+    ``encoded`` must carry BOTH ``pq_codes`` and the float ``vec`` column
+    (the re-rank join pulls vectors for shortlist rows only).
+    """
+    short = pq_topk(encoded, queries, codebooks, k=shortlist,
+                    key=key, q_key=q_key, q_vec=q_vec)
+    rer = (
+        short.select(q_key, key)
+        .join(encoded.select(key, vec), key)
+        .join(F.broadcast(queries.select(q_key, q_vec)), q_key)
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec), F.col(q_vec), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda s, x: s + x)
+    w = Window.partitionBy(q_key).orderBy(F.asc("l2_dist"), F.asc(key))
+    return (
+        rer.withColumn("l2_dist", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_key, key, "rank", "l2_dist")
+    )

@@ -150,6 +150,78 @@ def report(spark, sf_dir: str) -> list[dict]:
             "truth": len(exact_tk), "found": len(got_tk),
             "recall": round(rec, 4), "precision": round(rec, 4),
         })
+
+    # --- PQ ADC top-k vs exact top-k --------------------------------------
+    # L2-ground-truth for ADC (PQ approximates L2, not cosine): exact top-k
+    # by squared distance, same (dist, id) tie-break as pq_topk
+    from pyspark.sql import Window
+
+    from geo_epic_spark.operators.similarity import pq_encode, pq_topk
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("q_vec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda s, x: s + x)
+    w = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact_l2 = {
+        (r["q_id"], r["vec_id"])
+        for r in emb.crossJoin(F.broadcast(q)).withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+        .collect()
+    }
+    dim = len(emb.select("embedding").first()[0])
+    first = {r["vec_id"]: list(r["embedding"])
+             for r in emb.filter("vec_id < 16").collect()}
+    def measure_pq(cbs, label):
+        enc = pq_encode(emb, cbs)
+        got_pq = {
+            (r["q_id"], r["vec_id"])
+            for r in pq_topk(enc, q, cbs, k=k).collect()
+        }
+        rec = len(got_pq & exact_l2) / len(exact_l2)
+        rows.append({
+            "op": "pq_topk", "config": label,
+            "truth": len(exact_l2), "found": len(got_pq),
+            "recall": round(rec, 4), "precision": round(rec, 4),
+        })
+
+    for m in (4, 8):
+        dsub = dim // m
+        # oracle-style codebooks: deterministic data pick (correctness row)
+        cbs = [[first[c][i * dsub:(i + 1) * dsub] for c in sorted(first)]
+               for i in range(m)]
+        measure_pq(cbs, f"M={m} K=16 pick k={k}")
+        # production codebooks: per-subspace k-means (the quality path)
+        kcbs = [
+            kmeans_centroids(
+                emb.select(F.slice("embedding", i * dsub + 1, dsub)
+                           .alias("embedding")), c=16)
+            for i in range(m)
+        ]
+        measure_pq(kcbs, f"M={m} K=16 kmeans k={k}")
+
+    # two-stage (ADC shortlist -> exact re-rank): the production pattern
+    from geo_epic_spark.operators.similarity import pq_topk_rerank
+
+    dsub = dim // 8
+    kcbs8 = [
+        kmeans_centroids(
+            emb.select(F.slice("embedding", i * dsub + 1, dsub)
+                       .alias("embedding")), c=64)
+        for i in range(8)
+    ]
+    enc8 = pq_encode(emb, kcbs8)
+    for r_short in (50, 100, 200):
+        got_rr = {
+            (r["q_id"], r["vec_id"])
+            for r in pq_topk_rerank(enc8, q, kcbs8, k=k,
+                                    shortlist=r_short).collect()
+        }
+        rec = len(got_rr & exact_l2) / len(exact_l2)
+        rows.append({
+            "op": "pq_rerank", "config": f"M=8 K=64 R={r_short} k={k}",
+            "truth": len(exact_l2), "found": len(got_rr),
+            "recall": round(rec, 4), "precision": round(rec, 4),
+        })
     return rows
 
 

@@ -804,3 +804,24 @@ class TestPQ:
                                    "vec_id long, embedding array<double>")
         r = pq_encode(df, cb).collect()[0]
         assert list(r.pq_codes) == [0, 0]
+
+    def test_rerank_recovers_exact_topk(self, spark):
+        import numpy as np
+
+        from geo_epic_spark.operators.similarity import pq_encode, pq_topk_rerank
+
+        rng = np.random.Generator(np.random.PCG64(17))
+        v = rng.normal(size=(120, 8))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+            "vec_id long, embedding array<double>")
+        cb = [[list(map(float, v[c][i * 4:(i + 1) * 4])) for c in range(8)]
+              for i in range(2)]
+        enc = pq_encode(df, cb)
+        q = spark.createDataFrame([(0, [float(x) for x in v[5]])],
+                                  "q_id long, q_vec array<double>")
+        # shortlist == corpus size -> re-rank IS the exact ranking
+        got = pq_topk_rerank(enc, q, cb, k=5, shortlist=120).collect()
+        d2 = ((v - v[5]) ** 2).sum(axis=1)
+        want = np.lexsort((np.arange(len(v)), d2))[:5].tolist()
+        assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)] == want
