@@ -5363,6 +5363,42 @@ def _sql_pagerank() -> str:
     return f"SELECT node, ROUND(rank, 9) AS rank FROM ({inner})"
 
 
+def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-pixel mosaic compositing (`spatial.mosaic_best_tile`): every
+    lattice cell covered by overlapping image tiles picks the
+    highest-resolution tile (score = w·h, ties -> lowest i) — map-side
+    covering-cell fan-out, one cell-keyed window argmax. The oracle
+    regenerates the covering sets with lateral range unnests and replays
+    the same (score desc, id asc) pick."""
+    from geo_epic_spark.operators.spatial import mosaic_best_tile
+
+    tiles = synth.images_meta_df(spark, 1500)
+    out = mosaic_best_tile(
+        tiles, res=0.005,
+        score=(F.col("w") * F.col("h")).cast("long"),
+        tile_id="i", tiebreak="i")
+    return out.select("cell", "i", "score")
+
+
+def _sql_mosaic() -> str:
+    return f"""
+    WITH t AS ({synth.images_meta_sql(1500)}),
+    fan AS (
+      SELECT t.i, CAST(t.w AS BIGINT) * t.h AS score,
+             rr.r * 4294967296 + cc.c AS cell
+      FROM t,
+        unnest(range(CAST(floor((t.lat_min + 90.0) / 0.005) AS BIGINT),
+                     CAST(floor((t.lat_max + 90.0) / 0.005) AS BIGINT) + 1)) AS rr(r),
+        unnest(range(CAST(floor((t.lon_min + 180.0) / 0.005) AS BIGINT),
+                     CAST(floor((t.lon_max + 180.0) / 0.005) AS BIGINT) + 1)) AS cc(c)
+    )
+    SELECT cell, i, score
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY cell ORDER BY score DESC, i ASC) AS rk FROM fan)
+    WHERE rk = 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5543,6 +5579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_change_detect": q_change_detect,          # temporal raster change map
         "q_pq_topk": q_pq_topk,                      # product-quantization ADC ANN
         "q_pagerank": q_pagerank,                    # link-graph quality prior
+        "q_mosaic": q_mosaic,                        # best-pixel compositing
     }
 
 
@@ -5669,4 +5706,5 @@ def oracle_sql() -> dict[str, str]:
         "q_change_detect": _sql_change_detect(),
         "q_pq_topk": _sql_pq_topk(),
         "q_pagerank": _sql_pagerank(),
+        "q_mosaic": _sql_mosaic(),
     }

@@ -851,3 +851,41 @@ def simplify_polygons(
             yield pd.DataFrame(rows)
 
     return polys.mapInPandas(batch, schema=schema_str)
+
+
+def mosaic_best_tile(
+    tiles: DataFrame,
+    res: float,
+    score: Column,
+    tile_id: str = "image_id",
+    lon_min: str = "lon_min",
+    lat_min: str = "lat_min",
+    lon_max: str = "lon_max",
+    lat_max: str = "lat_max",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Best-pixel mosaic selection (the compositing step of every
+    satellite-imagery pipeline): each lattice cell covered by >= 1 tile
+    picks the tile with the highest ``score`` (resolution, recency, cloud
+    score...), ties broken by ascending ``tiebreak`` (default: tile id).
+
+    Plan: map-side covering-cell explode per tile (the cell_rollup /
+    cover_bbox shape) -> one (cell)-keyed window argmax. Dense stacks
+    (many overlapping tiles on one cell) are the AQE-skew case.
+
+    Output: (cell, tile_id, score) — one row per covered cell.
+    """
+    tb = tiebreak or tile_id
+    fan = tiles.select(
+        F.col(tile_id), score.alias("__score"), F.col(tb).alias("__tb"),
+        F.explode(cells.cover_bbox(
+            F.col(lon_min), F.col(lat_min), F.col(lon_max), F.col(lat_max),
+            res)).alias("cell"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("__score").desc(), F.col("__tb").asc())
+    return (
+        fan.withColumn("__rk", F.row_number().over(w))
+        .where("__rk = 1")
+        .select("cell", tile_id, F.col("__score").alias("score"))
+    )

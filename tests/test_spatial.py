@@ -302,3 +302,37 @@ class TestAdaptiveCells:
                                lon="cx", lat="cy")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
+
+
+class TestMosaic:
+    def test_every_covered_cell_gets_best_tile(self, spark):
+        from geo_epic_spark.operators.spatial import mosaic_best_tile
+
+        # two overlapping tiles: B is higher-res and must win the overlap
+        rows = [(1, 0.0, 0.0, 0.02, 0.02, 100),
+                (2, 0.01, 0.01, 0.03, 0.03, 400)]
+        df = spark.createDataFrame(
+            rows, "i long, lon_min double, lat_min double, "
+                  "lon_max double, lat_max double, px long")
+        got = {r.cell: (r.i, r.score) for r in mosaic_best_tile(
+            df, res=0.01, score=F.col("px"), tile_id="i").collect()}
+        from geo_epic_spark import cells as C
+        import numpy as np
+        # the overlap cell (covering both) belongs to tile 2
+        overlap = C.np_cell_id(np.array([0.015]), np.array([0.015]), 0.01)[0]
+        assert got[overlap] == (2, 400)
+        # a cell only tile 1 covers stays with tile 1
+        only1 = C.np_cell_id(np.array([0.005]), np.array([0.005]), 0.01)[0]
+        assert got[only1] == (1, 100)
+
+    def test_tie_breaks_lowest_id(self, spark):
+        from geo_epic_spark.operators.spatial import mosaic_best_tile
+
+        rows = [(7, 0.0, 0.0, 0.005, 0.005, 64),
+                (3, 0.0, 0.0, 0.005, 0.005, 64)]
+        df = spark.createDataFrame(
+            rows, "i long, lon_min double, lat_min double, "
+                  "lon_max double, lat_max double, px long")
+        got = mosaic_best_tile(df, res=0.01, score=F.col("px"),
+                               tile_id="i").collect()
+        assert all(r.i == 3 for r in got)
