@@ -212,3 +212,86 @@ def test_cluster_pairs_matches_bfs_oracle(spark, seed, n_edges):
         for u in comp:
             want[u] = m
     assert got == want, (edges, got, want)
+
+
+# --- r4d-g kernels: clip, hull, simplify, hex ------------------------------
+
+from geo_epic_spark.geometry import convex_hull, simplify_dp
+from geo_epic_spark.operators.overlay import _clip_convex_one
+
+COORD = st.floats(min_value=-50.0, max_value=50.0, allow_nan=False)
+
+
+@st.composite
+def rect(draw):
+    x0 = draw(COORD)
+    y0 = draw(COORD)
+    w = draw(st.floats(min_value=0.01, max_value=10.0))
+    h = draw(st.floats(min_value=0.01, max_value=10.0))
+    return x0, y0, x0 + w, y0 + h
+
+
+@given(rect(), rect())
+@settings(max_examples=200, deadline=None)
+def test_clip_rects_matches_closed_form(a, b):
+    ax0, ay0, ax1, ay1 = a
+    bx0, by0, bx1, by1 = b
+    got = _clip_convex_one([ax0, ax1, ax1, ax0], [ay0, ay0, ay1, ay1],
+                           [bx0, bx1, bx1, bx0], [by0, by0, by1, by1])
+    want = max(min(ax1, bx1) - max(ax0, bx0), 0.0) * \
+        max(min(ay1, by1) - max(ay0, by0), 0.0)
+    assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@given(st.lists(st.tuples(COORD, COORD), min_size=3, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_hull_contains_all_points(pts):
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    hx, hy = convex_hull(xs, ys)
+    if len(hx) < 3:
+        return  # collinear/degenerate input
+    n = len(hx)
+    for i in range(n):
+        ax, ay = hx[i], hy[i]
+        bx, by = hx[(i + 1) % n], hy[(i + 1) % n]
+        cross = (bx - ax) * (ys - ay) - (by - ay) * (xs - ax)
+        assert cross.min() >= -1e-7  # CCW: every point left of every edge
+
+
+@given(st.lists(st.tuples(COORD, COORD), min_size=2, max_size=50, unique=True),
+       st.floats(min_value=1e-6, max_value=5.0))
+@settings(max_examples=200, deadline=None)
+def test_simplify_dp_error_bound(pts, tol):
+    # unique points so the kept-coordinate -> index reconstruction below is
+    # well-defined (the kernel itself handles duplicates fine)
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    sx, sy = simplify_dp(xs, ys, tol)
+    # endpoints preserved, output is a subsequence, and every dropped
+    # vertex is within tol of the simplified polyline's covering segment
+    assert sx[0] == xs[0] and sx[-1] == xs[-1]
+    assert len(sx) <= len(xs)
+    kept = set(zip(sx.tolist(), sy.tolist()))
+    idx = [i for i in range(len(xs)) if (xs[i], ys[i]) in kept]
+    for a, b in zip(idx, idx[1:]):
+        ax, ay, bx, by = xs[a], ys[a], xs[b], ys[b]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        for i in range(a + 1, b):
+            if seg2 == 0.0:
+                d = math.hypot(xs[i] - ax, ys[i] - ay)
+            else:
+                d = abs(dx * (ys[i] - ay) - dy * (xs[i] - ax)) / math.sqrt(seg2)
+            assert d <= tol + 1e-9
+
+
+@given(LON, LAT, st.sampled_from([0.01, 0.05, 0.25]))
+@settings(max_examples=200, deadline=None)
+def test_hex_assignment_within_circumradius(lon, lat, size):
+    cid = cells.np_hex_cell_id(np.array([lon]), np.array([lat]), size)
+    fr = (cid // cells._SHIFT) - cells._HEX_OFF
+    fq = (cid % cells._SHIFT) - cells._HEX_OFF
+    cx = size * 1.7320508075688772 * (fq + fr / 2.0)
+    cy = size * 1.5 * fr
+    assert math.hypot(lon - cx[0], lat - cy[0]) <= size * (1 + 1e-9)
