@@ -5399,6 +5399,44 @@ def _sql_mosaic() -> str:
     """
 
 
+def q_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image augmentation (`images.udfs.augment_images`):
+    each payload gets ONE of hflip/vflip/rot90/center-crop chosen by the
+    reproducible hash_unit decision (new salt = new epoch) in a single
+    Arrow decode→transform→re-encode stage. The oracled projection is the
+    SQL-derivable half — op assignment + output dims (rot90 swaps, crop
+    floors at 0.75); pixel semantics (involutions, rotation identity,
+    crop bounds, PSNR) are pinned in test_media."""
+    from geo_epic_spark.images import full_images_df
+    from geo_epic_spark.images.udfs import augment_images
+
+    imgs = full_images_df(spark, 400)
+    out = augment_images(imgs, salt=0)
+    return out.select("image_id", "aug", "out_w", "out_h")
+
+
+def _sql_augment() -> str:
+    return f"""
+    WITH m AS ({synth.images_meta_sql(400)}),
+    t AS (
+      SELECT image_id, w, h,
+             CAST(floor(((((i % 1000003) + 0) * 2654435761) % 2147483647
+                         * 48271) % 2147483647 / 2147483647.0 * 4) AS INTEGER) AS a
+      FROM m
+    )
+    SELECT image_id,
+           CASE a WHEN 0 THEN 'hflip' WHEN 1 THEN 'vflip'
+                  WHEN 2 THEN 'rot90' ELSE 'crop' END AS aug,
+           CAST(CASE a WHEN 2 THEN h
+                       WHEN 3 THEN greatest(CAST(floor(w * 0.75) AS INTEGER), 1)
+                       ELSE w END AS INTEGER) AS out_w,
+           CAST(CASE a WHEN 2 THEN w
+                       WHEN 3 THEN greatest(CAST(floor(h * 0.75) AS INTEGER), 1)
+                       ELSE h END AS INTEGER) AS out_h
+    FROM t
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5580,6 +5618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,                      # product-quantization ADC ANN
         "q_pagerank": q_pagerank,                    # link-graph quality prior
         "q_mosaic": q_mosaic,                        # best-pixel compositing
+        "q_augment": q_augment,                      # deterministic augmentation
     }
 
 
@@ -5707,4 +5746,5 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_topk": _sql_pq_topk(),
         "q_pagerank": _sql_pagerank(),
         "q_mosaic": _sql_mosaic(),
+        "q_augment": _sql_augment(),
     }

@@ -215,3 +215,70 @@ def image_quality_report(
             & (F.col("__q.entropy_bits") < F.lit(min_entropy_bits))
         ).cast("int").alias("low_info"),
     )
+
+
+_AUG_OPS = ("hflip", "vflip", "rot90", "crop")
+_AUG_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("aug", StringType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("bytes", BinaryType()),
+    StructField("phash", LongType()),
+])
+
+
+def augment_images(df: DataFrame, salt: int = 0, crop_frac: float = 0.75) -> DataFrame:
+    """Deterministic per-epoch image augmentation (the training-loader
+    transform moved into the table pipeline): each image gets ONE op —
+    hflip / vflip / rot90 / center-crop — chosen by the same reproducible
+    `hash_unit(i, salt)` decision function the sampling operators use, so
+    an epoch's augmentation is a pure function of (image, salt) across
+    retries and cluster sizes. New salt = new epoch.
+
+    One Arrow map stage: decode -> numpy transform -> re-encode (+ fresh
+    phash). Output: (image_id, aug, out_w, out_h, bytes, phash). The op
+    ASSIGNMENT and output dims are SQL-derivable (q_augment oracle);
+    pixel-level semantics (involution / rotation identities, crop bounds)
+    are pinned in test_media.
+    """
+    from geo_epic_spark.images import codec
+    from geo_epic_spark.operators.sampling import hash_unit
+
+    n_ops = len(_AUG_OPS)
+    tagged = df.withColumn(
+        "__aug", F.floor(hash_unit(F.col("i"), salt) * n_ops).cast("int"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, blob, fmt, a in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["__aug"]
+            ):
+                arr = codec.decode_image(bytes(blob), fmt)
+                op = _AUG_OPS[int(a)]
+                if op == "hflip":
+                    out = arr[:, ::-1]
+                elif op == "vflip":
+                    out = arr[::-1, :]
+                elif op == "rot90":
+                    out = np.rot90(arr)          # CCW, (h,w) -> (w,h)
+                else:  # center crop
+                    h, w = arr.shape[:2]
+                    cw = max(int(w * crop_frac), 1)
+                    ch = max(int(h * crop_frac), 1)
+                    x0 = (w - cw) // 2
+                    y0 = (h - ch) // 2
+                    out = arr[y0:y0 + ch, x0:x0 + cw]
+                out = np.ascontiguousarray(out)
+                blob2 = codec.encode_image(out, fmt)
+                rows.append({
+                    "image_id": iid, "aug": op,
+                    "out_w": out.shape[1], "out_h": out.shape[0],
+                    "bytes": blob2,
+                    "phash": codec.phash64(codec.decode_image(blob2, fmt)),
+                })
+            yield pd.DataFrame(rows)
+
+    return tagged.select("image_id", "bytes", "fmt", "__aug").mapInPandas(
+        run, schema=_AUG_SCHEMA)

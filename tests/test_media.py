@@ -87,3 +87,46 @@ def test_image_quality_flags_flat_frames(spark):
             assert r["sharpness"] > 1.0
     # bytes column is dropped (report is safe to collect/inspect)
     assert "bytes" not in next(iter(out.values())).asDict()
+
+
+class TestAugment:
+    def test_pixel_semantics(self, spark):
+        import numpy as np
+
+        from geo_epic_spark.images import codec, full_images_df
+        from geo_epic_spark.images.udfs import augment_images
+
+        imgs = full_images_df(spark, 80)
+        out = {r.image_id: r for r in augment_images(imgs, salt=0).collect()}
+        src = {r.image_id: r for r in imgs.collect()}
+        assert len(out) == 80
+        ops = set()
+        for iid, r in out.items():
+            s = src[iid]
+            orig = codec.decode_image(bytes(s.bytes), s.fmt)
+            aug = codec.decode_image(bytes(r.bytes), s.fmt)
+            ops.add(r.aug)
+            if r.aug == "hflip":
+                assert np.array_equal(aug, orig[:, ::-1])
+            elif r.aug == "vflip":
+                assert np.array_equal(aug, orig[::-1, :])
+            elif r.aug == "rot90":
+                assert (r.out_w, r.out_h) == (s.h, s.w)
+                assert np.array_equal(aug, np.rot90(orig))
+            else:
+                assert r.out_w == max(int(s.w * 0.75), 1)
+                assert r.out_h == max(int(s.h * 0.75), 1)
+                y0 = (s.h - r.out_h) // 2
+                x0 = (s.w - r.out_w) // 2
+                assert np.array_equal(aug, orig[y0:y0 + r.out_h, x0:x0 + r.out_w])
+        assert ops == {"hflip", "vflip", "rot90", "crop"}  # all ops exercised
+
+    def test_new_salt_changes_assignment(self, spark):
+        from geo_epic_spark.images import full_images_df
+        from geo_epic_spark.images.udfs import augment_images
+
+        imgs = full_images_df(spark, 60)
+        a = {r.image_id: r.aug for r in augment_images(imgs, salt=0).collect()}
+        b = {r.image_id: r.aug for r in augment_images(imgs, salt=1).collect()}
+        assert a != b                      # a new epoch re-rolls ops
+        assert set(a) == set(b)            # but covers the same images
