@@ -5437,6 +5437,35 @@ def _sql_augment() -> str:
     """
 
 
+def q_track_encounters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory encounter detection (`trajectory.track_encounters`):
+    track pairs within 0.02° at |Δseq| <= 1 — cell equi-join with the
+    distance/seq-window/ordering predicates inside the condition, one
+    (a, b) aggregate (contact count + closest approach). Oracle: the
+    brute-force pair join with identical arithmetic; min_d2 is exact
+    mul/add so only no rounding is needed on it either — hash-exact."""
+    from geo_epic_spark.operators.trajectory import track_encounters
+
+    tracks = synth.tracks_df(spark, 200, 40)
+    return track_encounters(tracks, radius=0.1, seq_tol=1)
+
+
+def _sql_track_encounters() -> str:
+    return f"""
+    WITH t AS ({synth.tracks_sql(200, 40)})
+    SELECT a.track_id AS ta, b.track_id AS tb,
+           COUNT(*) AS n_contacts,
+           MIN((a.lon - b.lon) * (a.lon - b.lon)
+               + (a.lat - b.lat) * (a.lat - b.lat)) AS min_d2
+    FROM t a JOIN t b
+      ON a.track_id < b.track_id
+     AND abs(a.seq - b.seq) <= 1
+     AND (a.lon - b.lon) * (a.lon - b.lon)
+         + (a.lat - b.lat) * (a.lat - b.lat) <= 0.1 * 0.1
+    GROUP BY 1, 2
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5619,6 +5648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,                    # link-graph quality prior
         "q_mosaic": q_mosaic,                        # best-pixel compositing
         "q_augment": q_augment,                      # deterministic augmentation
+        "q_track_encounters": q_track_encounters,    # trajectory proximity join
     }
 
 
@@ -5747,4 +5777,5 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank": _sql_pagerank(),
         "q_mosaic": _sql_mosaic(),
         "q_augment": _sql_augment(),
+        "q_track_encounters": _sql_track_encounters(),
     }

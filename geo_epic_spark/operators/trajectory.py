@@ -87,3 +87,56 @@ def sql_trajectory_stats(
            END AS straightness
     FROM agg
     """
+
+
+def track_encounters(
+    tracks: DataFrame,
+    radius: float,
+    seq_tol: int = 1,
+    res: float | None = None,
+    track_id: str = "track_id",
+    seq: str = "seq",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Encounter (contact) detection between trajectories: pairs of tracks
+    that came within planar ``radius`` of each other at nearly the same
+    sequence position (|Δseq| <= seq_tol) — the proximity join of movement
+    analytics (contact tracing, convoy detection, near-miss analysis).
+
+    Plan: side A carries its ONE cell (res defaults to radius), side B
+    explodes the 3×3 ring of its cell, the equi-join runs on the cell id
+    with the exact distance + seq-window + (a < b) predicates inside the
+    join condition. A matching point pair meets exactly once (A has one
+    cell; B's ring cells are distinct). One final (a, b) aggregate:
+    contact count + closest approach.
+    """
+    from geo_epic_spark import cells
+    from geo_epic_spark.operators.spatial import _dist2_deg
+
+    res = radius if res is None else res
+    a = tracks.select(
+        F.col(track_id).alias("ta"), F.col(seq).alias("sa"),
+        F.col(lon).alias("xa"), F.col(lat).alias("ya"),
+    ).withColumn("__cell", cells.cell_id(F.col("xa"), F.col("ya"), res))
+    b = tracks.select(
+        F.col(track_id).alias("tb"), F.col(seq).alias("sb"),
+        F.col(lon).alias("xb"), F.col(lat).alias("yb"),
+    ).withColumn(
+        "__cell",
+        F.explode(cells.k_ring(
+            cells.cell_id(F.col("xb"), F.col("yb"), res), 1)),
+    )
+    d2 = _dist2_deg(F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb"))
+    pairs = a.join(
+        b,
+        on=(a["__cell"] == b["__cell"])
+        & (F.col("ta") < F.col("tb"))
+        & (F.abs(F.col("sa") - F.col("sb")) <= F.lit(seq_tol))
+        & (d2 <= F.lit(radius * radius)),
+        how="inner",
+    )
+    return pairs.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n_contacts"),
+        F.min(d2).alias("min_d2"),
+    )

@@ -282,3 +282,31 @@ class TestTrajectory:
             assert r.n_points == 20
             assert r.path_len >= r.displacement - 1e-12
             assert r.straightness is None or 0.0 <= r.straightness <= 1.0 + 1e-12
+
+    def test_track_encounters_planted(self, spark):
+        from geo_epic_spark.operators.trajectory import track_encounters
+
+        rows = [
+            # track 1 heads east, track 2 heads north; they pass near
+            # (1, 1) at seq 2 (distance 0.05); track 3 is far away
+            (1, 0, 0.0, 1.0), (1, 1, 0.5, 1.0), (1, 2, 1.0, 1.0),
+            (2, 0, 1.05, 0.0), (2, 1, 1.05, 0.5), (2, 2, 1.05, 1.0),
+            (3, 0, 50.0, 50.0), (3, 1, 50.5, 50.0), (3, 2, 51.0, 50.0),
+        ]
+        df = spark.createDataFrame(rows, "track_id long, seq long, lon double, lat double")
+        got = {(r.ta, r.tb): (r.n_contacts, r.min_d2)
+               for r in track_encounters(df, radius=0.2, seq_tol=0).collect()}
+        assert set(got) == {(1, 2)}
+        n, d2 = got[(1, 2)]
+        assert n == 1  # only the seq-2 positions are within 0.2 at equal seq
+        assert d2 == pytest.approx(0.05 ** 2, rel=1e-12)
+
+    def test_track_encounters_pair_counted_once(self, spark):
+        from geo_epic_spark.operators.trajectory import track_encounters
+
+        # identical positions straddling a cell boundary: the ring explode
+        # must not double-count the (a, b) point pair
+        rows = [(1, 0, 0.0999, 0.0), (2, 0, 0.1001, 0.0)]
+        df = spark.createDataFrame(rows, "track_id long, seq long, lon double, lat double")
+        got = track_encounters(df, radius=0.1, seq_tol=0).collect()
+        assert len(got) == 1 and got[0].n_contacts == 1
