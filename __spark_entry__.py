@@ -97,10 +97,15 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = _t(spark, "/root/testdata/sf0.001", "documents").select(
         F.col("doc_id"), F.col("text").alias("caption_src")
     )
-    n_docs = docs.count()
+    # doc count folded into the plan as a broadcast 1-row aggregate (a
+    # scalar-subquery shape) instead of an eager .count() action — the
+    # flagship stays a single job (r4 advisory nit).
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("__n_docs")))
     imgs = (
         synth.images_meta_df(spark, 2000)
-        .withColumn("doc_id", F.col("i") % n_docs)
+        .crossJoin(n_docs)
+        .withColumn("doc_id", F.col("i") % F.col("__n_docs"))
+        .drop("__n_docs")
         .join(F.broadcast(docs), "doc_id")
     )
     flds = synth.fields_df(spark, 150)
@@ -4825,7 +4830,7 @@ def q_adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = synth.images_meta_df(spark, N_IMG).select("i", "cx", "cy")
     out = adaptive_cells(pts, base_res=0.4, max_depth=4, cap=150,
-                         lon="cx", lat="cy")
+                         lon="cx", lat="cy", point_id="i")
     return (
         out.groupBy("level", "cell", "cell_res")
         .agg(F.count(F.lit(1)).alias("n_points"))
@@ -5439,11 +5444,11 @@ def _sql_augment() -> str:
 
 def q_track_encounters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory encounter detection (`trajectory.track_encounters`):
-    track pairs within 0.02° at |Δseq| <= 1 — cell equi-join with the
+    track pairs within 0.1° at |Δseq| <= 1 — cell equi-join with the
     distance/seq-window/ordering predicates inside the condition, one
     (a, b) aggregate (contact count + closest approach). Oracle: the
     brute-force pair join with identical arithmetic; min_d2 is exact
-    mul/add so only no rounding is needed on it either — hash-exact."""
+    mul/add, so no rounding is needed on it either — hash-exact."""
     from geo_epic_spark.operators.trajectory import track_encounters
 
     tracks = synth.tracks_df(spark, 200, 40)

@@ -44,6 +44,28 @@ from pyspark.sql.types import (
 
 __all__ = ["write_webdataset", "read_webdataset"]
 
+
+def _open_wb(path: str):
+    """Executor-side binary writer: fsspec when available (object-store
+    paths), else plain local open (shared-filesystem requirement stated in
+    `write_webdataset`)."""
+    try:
+        import fsspec  # noqa: F401 — optional, absent in this sandbox
+
+        return fsspec.open(path, "wb").open()
+    except ImportError:
+        return open(path, "wb")
+
+
+def _makedirs(out_dir: str) -> None:
+    try:
+        import fsspec
+
+        fs, root = fsspec.core.url_to_fs(out_dir)
+        fs.makedirs(root, exist_ok=True)
+    except ImportError:
+        os.makedirs(out_dir, exist_ok=True)
+
 _MANIFEST_SCHEMA = StructType([
     StructField("shard", LongType()),
     StructField("path", StringType()),
@@ -66,8 +88,16 @@ def write_webdataset(
 ) -> DataFrame:
     """Write one `shard-%06d.tar` per distinct ``shard_col`` value; return
     the manifest DataFrame (shard, path, n_members, caption_bytes,
-    data_bytes, tar_bytes, sha16)."""
-    os.makedirs(out_dir, exist_ok=True)
+    data_bytes, tar_bytes, sha16).
+
+    Filesystem contract: each tar is opened ON THE EXECUTOR via
+    ``fsspec.open(path, "wb")`` when fsspec is importable — so an
+    object-store ``out_dir`` (s3://, gs://, abfs://) works on a real
+    cluster. Without fsspec (this sandbox) the writer falls back to plain
+    ``open()``, which requires ``out_dir`` to be a SHARED filesystem
+    visible at the same path from every executor (NFS, or local mode);
+    executor-local disks would scatter the shards."""
+    _makedirs(out_dir)
 
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf[shard_col].iloc[0])
@@ -87,7 +117,7 @@ def write_webdataset(
                     info.uname = info.gname = ""
                     tf.addfile(info, io.BytesIO(payload))
         raw = buf.getvalue()
-        with open(path, "wb") as f:
+        with _open_wb(path) as f:
             f.write(raw)
         return pd.DataFrame([{
             "shard": shard,

@@ -199,6 +199,13 @@ def kmeans_centroids_distributed(
                 "sums": [sums[i] for i in nz],
             })
 
+        # Bounded driver collect: at most (#input partitions × c) rows of
+        # (cid, pid, cnt, d-dim sum) — with c=4096 centroids, d=768 and
+        # 10k partitions that's ~250 GB worst case BUT each partition emits
+        # only its NON-EMPTY centroid rows, and realistic configs
+        # (c ≤ 1k, ≤ 2k partitions) stay under ~12 GB; for larger c,
+        # pre-aggregate with a (cid)-keyed groupBy before collecting.
+        # Same contract style as sampling.py's stated collect bound.
         parts = sel.mapInPandas(partials, schema=out_schema).collect()
         cnt = np.zeros(len(cents), dtype=np.int64)
         sums = np.zeros_like(cents)

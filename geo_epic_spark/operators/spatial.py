@@ -723,6 +723,7 @@ def adaptive_cells(
     cap: int,
     lon: str = "lon",
     lat: str = "lat",
+    point_id: str | None = None,
 ) -> DataFrame:
     """Quadtree-adaptive tiling: each point gets the FINEST-grained cell its
     density requires — cells holding more than ``cap`` points split into 4
@@ -743,6 +744,14 @@ def adaptive_cells(
       -> per-point min qualifying level              [shuffle 2, by point]
 
     Output: point columns + (level, cell, cell_res).
+
+    ``point_id``: name of a UNIQUE per-point key column. Pass it whenever
+    the input can contain exact-duplicate rows — the final per-point
+    selection groups on this key, so each input row keeps its own output
+    row (and the shuffle key is a single long/string, not raw doubles).
+    Without it the selection groups on ALL point columns, which collapses
+    exact duplicates into one row (documented legacy behavior, kept for
+    callers whose rows are known-distinct).
     """
     lv = F.explode(F.array(*[
         F.struct(
@@ -759,12 +768,27 @@ def adaptive_cells(
     )
     keyed = tagged.withColumn("__ok_level", pick)
     w_cols = [c for c in points.columns]
-    best = (
-        keyed.where(F.col("__ok_level").isNotNull())
-        .groupBy(*w_cols)
-        .agg(F.min(F.struct(F.col("__ok_level").alias("level"),
-                            F.col("cell").alias("cell"))).alias("__s"))
-    )
+    if point_id is not None:
+        # Unique-key path: group on the id alone; every other point column
+        # is constant within the group (id is unique), so min() recovers it
+        # deterministically and duplicates-by-value survive as distinct rows.
+        rest = [c for c in w_cols if c != point_id]
+        best = (
+            keyed.where(F.col("__ok_level").isNotNull())
+            .groupBy(point_id)
+            .agg(
+                *[F.min(F.col(c)).alias(c) for c in rest],
+                F.min(F.struct(F.col("__ok_level").alias("level"),
+                               F.col("cell").alias("cell"))).alias("__s"),
+            )
+        )
+    else:
+        best = (
+            keyed.where(F.col("__ok_level").isNotNull())
+            .groupBy(*w_cols)
+            .agg(F.min(F.struct(F.col("__ok_level").alias("level"),
+                                F.col("cell").alias("cell"))).alias("__s"))
+        )
     return best.select(
         *w_cols,
         F.col("__s.level").alias("level"),

@@ -105,16 +105,24 @@ def track_encounters(
     analytics (contact tracing, convoy detection, near-miss analysis).
 
     Plan: side A carries its ONE cell (res defaults to radius), side B
-    explodes the 3×3 ring of its cell, the equi-join runs on the cell id
-    with the exact distance + seq-window + (a < b) predicates inside the
-    join condition. A matching point pair meets exactly once (A has one
-    cell; B's ring cells are distinct). One final (a, b) aggregate:
-    contact count + closest approach.
+    explodes the k-ring of its cell with k = ceil(radius/res) — the
+    Chebyshev covering guarantee: two points within planar ``radius`` sit
+    at most ceil(radius/res) cells apart on each axis, so the ring is a
+    complete candidate cover for ANY res (a caller passing res < radius,
+    e.g. to shrink dense-cell fan-in, widens the ring instead of silently
+    dropping pairs). The equi-join runs on the cell id with the exact
+    distance + seq-window + (a < b) predicates inside the join condition.
+    A matching point pair meets exactly once (A has one cell; B's ring
+    cells are distinct). One final (a, b) aggregate: contact count +
+    closest approach.
     """
+    import math
+
     from geo_epic_spark import cells
     from geo_epic_spark.operators.spatial import _dist2_deg
 
     res = radius if res is None else res
+    k = max(1, math.ceil(radius / res))
     a = tracks.select(
         F.col(track_id).alias("ta"), F.col(seq).alias("sa"),
         F.col(lon).alias("xa"), F.col(lat).alias("ya"),
@@ -125,7 +133,7 @@ def track_encounters(
     ).withColumn(
         "__cell",
         F.explode(cells.k_ring(
-            cells.cell_id(F.col("xb"), F.col("yb"), res), 1)),
+            cells.cell_id(F.col("xb"), F.col("yb"), res), k)),
     )
     d2 = _dist2_deg(F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb"))
     pairs = a.join(

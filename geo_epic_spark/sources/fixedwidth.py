@@ -126,7 +126,18 @@ def read_epic_output(spark: SparkSession, path: str, kind: str) -> DataFrame:
     skiprows, has_date = EPIC_OUTPUT_KINDS[kind.upper()]
     # header = the (skiprows+1)-th line of each file — addressed by its
     # per-file row number, never by a bare limit() that could surface a
-    # mid-file data row or (multi-file dirs) another file's body
+    # mid-file data row or (multi-file dirs) another file's body.
+    # Cost note (r4 advisory nit): this per-file window is a sort keyed on
+    # input_file_name(), which exists only to locate line N of each file.
+    # It is acceptable here because EPIC output files are small (a few
+    # hundred rows each — the reference writes one per site) and this is a
+    # cold ingest path; text files are also read as ONE split per file at
+    # these sizes, so the sort is per-partition-local in practice. For a
+    # huge directory the header text is constant across files, so the
+    # shuffle-free alternative is: read ONE file's header driver-side,
+    # then filter body rows by `value != header_text` — not taken because
+    # it cannot detect files that DISAGREE on the header, which this path
+    # deliberately treats as an error (see the len(headers) > 1 check).
     w = Window.partitionBy(F.input_file_name()).orderBy(
         F.monotonically_increasing_id()
     )

@@ -303,6 +303,20 @@ class TestAdaptiveCells:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
 
+    def test_point_id_keeps_exact_duplicate_rows(self, spark):
+        from geo_epic_spark.operators.spatial import adaptive_cells
+
+        # r5 ADVICE regression: two points at the IDENTICAL location must
+        # each keep their own output row when a unique point_id is given
+        # (the all-columns grouping collapses them).
+        rows = [(1, 5.0, 5.0), (2, 5.0, 5.0), (3, 7.3, 2.1)]
+        pts = spark.createDataFrame(rows, "pid long, lon double, lat double")
+        out = adaptive_cells(pts, base_res=0.4, max_depth=2, cap=10,
+                             lon="lon", lat="lat", point_id="pid")
+        got = {r.pid: (r.level, r.cell) for r in out.collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[1] == got[2]  # same location -> same cell, but both rows
+
 
 class TestMosaic:
     def test_every_covered_cell_gets_best_tile(self, spark):

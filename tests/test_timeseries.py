@@ -310,3 +310,16 @@ class TestTrajectory:
         df = spark.createDataFrame(rows, "track_id long, seq long, lon double, lat double")
         got = track_encounters(df, radius=0.1, seq_tol=0).collect()
         assert len(got) == 1 and got[0].n_contacts == 1
+
+    def test_track_encounters_res_below_radius_still_complete(self, spark):
+        from geo_epic_spark.operators.trajectory import track_encounters
+
+        # r5 ADVICE regression: with res < radius the pair sits several
+        # cells apart; the ring must widen to ceil(radius/res) instead of
+        # silently dropping the encounter.
+        rows = [(1, 0, 0.0, 0.0), (2, 0, 0.09, 0.0)]
+        df = spark.createDataFrame(
+            rows, "track_id long, seq long, lon double, lat double")
+        for res in (0.02, 0.03, 0.1):  # 0.09 apart spans up to 5 res-0.02 cells
+            got = track_encounters(df, radius=0.1, seq_tol=0, res=res).collect()
+            assert len(got) == 1 and got[0].n_contacts == 1, res
