@@ -286,6 +286,181 @@ def _sql_monthly_normals() -> str:
     """
 
 
+# --- composed §3.2 weather-download lifecycle (r5 VERDICT item 1) ----------
+# lattice covering the AOI at 0.1° (the 0.00901° reference res scaled to keep
+# the DuckDB mirror's exact-nearest cross join small), three county-scale AOI
+# rectangles, 300 run_info sites, 16 shared NLDAS-style wind/climate series.
+WP_NR, WP_NC, WP_SP = 30, 50, 0.1
+WP_WCELLS, WP_WDAYS = 16, 365
+_WP_AOI = [
+    (0, -99.5, 40.3, -98.2, 41.4),
+    (1, -97.9, 40.1, -96.4, 42.0),   # contains the HOT site cluster
+    (2, -96.2, 41.5, -95.3, 42.8),
+]
+
+
+def _wp_aoi_df(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame(
+        _WP_AOI, "poly_id long, x0 double, y0 double, x1 double, y1 double"
+    )
+    return df.select(
+        "poly_id", "x0", "y0", "x1", "y1",
+        F.array("x0", "x1", "x1", "x0").alias("xs"),
+        F.array("y0", "y0", "y1", "y1").alias("ys"),
+    )
+
+
+def _wp_aoi_sql() -> str:
+    rows = ", ".join(f"({p}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+                     for p, x0, y0, x1, y1 in _WP_AOI)
+    return f"SELECT * FROM (VALUES {rows}) AS t(poly_id, x0, y0, x1, y1)"
+
+
+def q_weather_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed §3.2 weather-download lifecycle — the reference's actual
+    flagship workflow (`weather/download_daily.py`) chained end-to-end in ONE
+    oracled query, each stage an operator already proven alone:
+
+    1. climate-lattice build (`download_daily.py:62-70`): synth.grid_df;
+    2. AOI geometry mask (`:74-79`, rasterio.features.geometry_mask): keep
+       lattice cells whose center falls inside an AOI polygon — pip_join of
+       cells against the AOI rectangles + distinct;
+    3. site→cell assignment (`:128-143`, GeoInterface.lookup): exact nearest
+       MASKED cell per run_info site via nearest_grid_join (k-ring expansion
+       with brute fallback for sites outside the mask's ring horizon);
+    4. per-cell daily weather join with the 3.5 default wind-speed fill
+       (`weather/main.py:18-37`): each assigned cell keys one of the 16
+       NLDAS-style series (grid_id % 16 — the nldas_id lookup analog);
+    5. monthly INP normals per climate cell (`io/inputs.py:293-332`);
+    6. skip-existing resume (`download_daily.py:99-104` file-exists check):
+       run_with_resume over 8 cell buckets with buckets 0-1 pre-seeded in the
+       manifest — only pending buckets are computed and written.
+
+    Returns the normals actually WRITTEN by the resumed run (read back from
+    the partitioned sink), so the row set proves the mask, the assignment,
+    the ws fill, the normals math, and the resume filter simultaneously."""
+    import shutil
+
+    from geo_epic_spark.operators.resume import MANIFEST_SCHEMA, run_with_resume
+
+    grid = synth.grid_df(spark, WP_NR, WP_NC, WP_SP)
+    aoi = _wp_aoi_df(spark)
+    # cached: the nearest-join's ring-escalation rounds and brute fallback
+    # each probe the masked lattice — without the persist every round
+    # re-runs the PIP mask (measured 3x the query time at sf0.01)
+    masked = (
+        pip_join(grid, aoi, res=0.5, lon="lon", lat="lat")
+        .select("grid_id", "lon", "lat")
+        .distinct()
+        .persist()
+    )
+    sites = synth.images_meta_df(spark, 300).select("i", "cx", "cy")
+    # res=0.4 > lattice spacing: sites OUTSIDE the mask (inter-polygon gaps,
+    # up to ~0.7 deg from the nearest masked cell) resolve by ring 2 instead
+    # of escalating through 8 rounds of 0.1-deg rings
+    assigned = nearest_grid_join(
+        sites, masked, res=0.4, max_ring=4,
+        point_id="i", point_lon="cx", point_lat="cy",
+    )
+    # localCheckpoint truncates the assignment lineage: the resume stage
+    # below runs several actions (pending anti-join count, the sink write,
+    # the manifest aggregate) and each would otherwise re-run the whole
+    # mask+assign chain. `used` is bounded by the masked-cell count (~500
+    # rows here; one row per climate cell at any scale — the same bound as
+    # the reference's Daily/*.DLY file listing).
+    used = (
+        assigned.select("grid_id").distinct()
+        .withColumn("wcell", F.pmod(F.col("grid_id"), F.lit(WP_WCELLS)))
+        .localCheckpoint(eager=True)
+    )
+    masked.unpersist()
+    daily = synth.weather_daily_df(spark, WP_WCELLS, WP_WDAYS).na.fill({"ws": 3.5})
+    work = (
+        used.join(daily, used.wcell == daily.cell_id)
+        .drop("cell_id", "wcell")
+        .withColumn("part", F.pmod(F.col("grid_id"), F.lit(8)))
+    )
+    mpath = _scratch("weather_pipeline/manifest")
+    opath = _scratch("weather_pipeline/out")
+    shutil.rmtree(mpath, ignore_errors=True)
+    shutil.rmtree(opath, ignore_errors=True)
+    spark.createDataFrame(
+        [(str(p), 0, 0, 0, "seed") for p in (0, 1)], MANIFEST_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(mpath)
+    run_with_resume(
+        spark, work, "part",
+        lambda df: monthly_normals(df, by=["part", "grid_id"]),
+        opath, mpath, run_id="r5wp",
+    )
+    out = spark.read.parquet(opath).drop("part")
+    num = [c for c in out.columns if c not in ("grid_id", "month")]
+    return _r6(out, num)
+
+
+def _sql_weather_pipeline() -> str:
+    dim = "[31,28,31,30,31,30,31,31,30,31,30,31]"
+    return f"""
+    WITH grid AS ({synth.grid_sql(WP_NR, WP_NC, WP_SP)}),
+         aoi AS ({_wp_aoi_sql()}),
+         masked AS (
+           SELECT g.grid_id, g.lon, g.lat FROM grid g
+           WHERE EXISTS (SELECT 1 FROM aoi p
+                         WHERE g.lon BETWEEN p.x0 AND p.x1
+                           AND g.lat BETWEEN p.y0 AND p.y1)
+         ),
+         sites AS ({synth.images_meta_sql(300)}),
+         assigned AS (
+           SELECT i, grid_id FROM (
+             SELECT s.i, m.grid_id,
+                    row_number() OVER (PARTITION BY s.i ORDER BY
+                      (s.cx - m.lon) * (s.cx - m.lon)
+                      + (s.cy - m.lat) * (s.cy - m.lat), m.grid_id) AS rn
+             FROM sites s CROSS JOIN masked m) WHERE rn = 1
+         ),
+         used AS (
+           SELECT DISTINCT grid_id, grid_id % {WP_WCELLS} AS wcell
+           FROM assigned WHERE grid_id % 8 >= 2
+         ),
+         daily AS ({synth.weather_daily_sql(WP_WCELLS, WP_WDAYS)}),
+         base AS (
+           SELECT u.grid_id, d.date, d.srad, d.tmax, d.tmin, d.prcp, d.rh,
+                  COALESCE(d.ws, 3.5) AS ws,
+                  CAST(month(d.date) AS INTEGER) AS month,
+                  CASE WHEN d.prcp > 0.5 THEN 1 ELSE 0 END AS wet
+           FROM used u JOIN daily d ON d.cell_id = u.wcell
+         ),
+         lagd AS (
+           SELECT *, LAG(wet) OVER (PARTITION BY grid_id, month ORDER BY date)
+                       AS wet_prev
+           FROM base
+         ),
+         agg AS (
+           SELECT grid_id, month,
+                  avg(tmax) AS OBMX, avg(tmin) AS OBMN, avg(srad) AS OBSL,
+                  avg(rh) AS RH, avg(ws) AS UAVO,
+                  avg(prcp) AS prcp_mean,
+                  stddev_samp(tmax) AS SDTMX, stddev_samp(tmin) AS SDTMN,
+                  stddev_samp(prcp) AS RST2,
+                  sum(wet) * 1.0 / count(*) AS DAYP,
+                  sum(CASE WHEN wet_prev = 1 AND wet = 0 THEN 1 ELSE 0 END) * 1.0 / count(*) AS PRW1,
+                  sum(CASE WHEN wet_prev = 1 AND wet = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) AS PRW2
+           FROM lagd GROUP BY 1, 2
+         ),
+         rmo AS (
+           SELECT *, prcp_mean * CAST({dim}[month] AS DOUBLE) AS RMO FROM agg
+         )
+    SELECT grid_id, month,
+           round(OBMX, 6) AS OBMX, round(OBMN, 6) AS OBMN,
+           round(SDTMX, 6) AS SDTMX, round(SDTMN, 6) AS SDTMN,
+           round(RMO, 6) AS RMO, round(RST2, 6) AS RST2,
+           round(3.0 * abs(RMO - median(RMO) OVER (PARTITION BY grid_id)) / RST2, 6) AS RST3,
+           round(PRW1, 6) AS PRW1, round(PRW2, 6) AS PRW2, round(DAYP, 6) AS DAYP,
+           round(0.0, 6) AS WI,
+           round(OBSL, 6) AS OBSL, round(RH, 6) AS RH, round(UAVO, 6) AS UAVO
+    FROM rmo
+    """
+
+
 def _seasons_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         _SEASONS,
@@ -5069,6 +5244,96 @@ def _sql_stream_join() -> str:
     """
 
 
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join (r4 VERDICT item 6 — the
+    attribution query "errors with no rescuing click"): same two replayed
+    streams as q_stream_join but ``how='left_outer'``, so unmatched error
+    events are null-padded once the watermark proves no qualifying click
+    can still arrive. availableNow replay runs a final no-data micro-batch
+    whose watermark is max(ts)-24h; null rows for the region OLDER than
+    that are fully emitted, rows younger stay in state — so BOTH engines
+    clamp to ts_l <= max(ts) - 25h (watermark + 1h margin clears the
+    eviction boundary) and the oracle is the batch LEFT join there. Null
+    pads are coalesced to the literal 'none' on both sides so the hash
+    compare is null-representation-independent."""
+    import hashlib
+    import shutil
+    import uuid
+
+    from geo_epic_spark.streaming.stateful import interval_join_streams
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    src_dir = _scratch(f"stream_src_events_{tag}")
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    schema = _t(spark, sf_dir, "events").schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema).parquet(src_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    errors = stream().where("event_type = 'error'").select(
+        F.col("event_id").alias("eid"), "user_id", F.col("ts").alias("ts_l"))
+    clicks = stream().where("event_type = 'click'").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("user_id"),
+        F.col("ts").alias("ts_r"))
+    joined = interval_join_streams(
+        errors, clicks, key="user_id", lookback="12 hours",
+        watermark="24 hours", how="left_outer")
+    name = "qsjo_" + uuid.uuid4().hex[:8]
+    ckpt = _scratch("stream_ckpt_" + name)
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # bounded driver decision: one MAX over the batch table fixes the
+    # watermark-closed cutoff both engines clamp to
+    cutoff = (
+        _t(spark, sf_dir, "events")
+        .agg((F.max(F.col("ts").cast("timestamp"))
+              - F.expr("INTERVAL 25 HOURS")).alias("c"))
+        .collect()[0]["c"]
+    )
+    return (
+        spark.table(name)
+        .where(F.col("ts_l") <= F.lit(cutoff))
+        .select(
+            "eid",
+            F.coalesce(F.col("cid").cast("string"), F.lit("none")).alias("cid"),
+            "user_id",
+            F.date_format("ts_l", "yyyy-MM-dd HH:mm:ss").alias("ts_l"),
+            F.coalesce(F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss"),
+                       F.lit("none")).alias("ts_r"),
+        )
+    )
+
+
+def _sql_stream_join_outer() -> str:
+    return """
+    WITH cut AS (SELECT max(ts) - INTERVAL 25 HOUR AS c FROM events),
+    l AS (
+      SELECT event_id AS eid, user_id, ts FROM events
+      WHERE event_type = 'error' AND ts <= (SELECT c FROM cut)
+    ),
+    r AS (
+      SELECT event_id AS cid, user_id, ts AS tsr FROM events WHERE event_type = 'click'
+    )
+    SELECT l.eid, COALESCE(CAST(r.cid AS VARCHAR), 'none') AS cid, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_l,
+           COALESCE(strftime(r.tsr, '%Y-%m-%d %H:%M:%S'), 'none') AS ts_r
+    FROM l LEFT JOIN r
+      ON l.user_id = r.user_id
+     AND r.tsr >= l.ts - INTERVAL 12 HOUR
+     AND r.tsr <= l.ts
+    """
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group convex hull (`spatial.group_convex_hull`, Andrew monotone
     chain in a grouped-pandas stage): each field polygon's 4 corners plus 5
@@ -5525,11 +5790,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     upsert, cross-modal dedup, hex index, stream-stream interval join,
     convex hull, IDW, composed geo pipeline, change detection, PQ ANN,
     PageRank, mosaic compositing, image augmentation — every entry
-    oracled, all green in CORRECTNESS_LOCAL_r04 (124/124 at sf0.01)."""
+    oracled, all green in CORRECTNESS_LOCAL_r04 (124/124 at sf0.01).
+
+    Round-5 rotation (VERDICT r4 items 1 and 5): the new composed
+    q_weather_pipeline (the reference's §3.2 flagship lifecycle: lattice →
+    AOI mask → site assignment → daily join + ws fill → monthly normals →
+    resume) takes the A1/W1/W2/P7 head slot from q_monthly_normals, whose
+    entire computation it contains. Nine further WITHIN-FAMILY swaps
+    spread driver-green rows across the registry (head∩r4-head = 40 ≤ 42):
+    q_salted_pip↔q_tile_assign (J5 — same pip_join+count, salted),
+    q_bucketed_join↔q_soil_projection (J4 — the zero-shuffle layout),
+    q_pq_topk↔q_ivf_topk (ANN scale path), q_dedup_spans↔q_decontaminate
+    (corpus hygiene n-gram family), q_smooth_savgol↔q_smooth_gaussian
+    (W6 method 1↔2), q_harmonic_fit↔q_double_logistic (W8 fit 2↔1),
+    q_knn_k3↔q_nearest_grid (J1 — same operator, k=3),
+    q_percentile_envelope↔q_depth_median (A3/A4 percentile aggs),
+    q_validate_dly↔q_opc_validate (validator family; P2 stays via
+    q_required_columns). Every demoted query keeps its oracle and its
+    green row in CORRECTNESS_LOCAL; no family leaves the head — each
+    incoming entry exercises the same operator family as its outgoing
+    counterpart. New tail entry: q_stream_join_outer (left-outer
+    stream-stream interval join, r4 item 6)."""
     return {
-        # spatial flagship path (J1/J2/J3/J5/J6, S4, S10)
-        "q_tile_assign": q_tile_assign,
-        "q_nearest_grid": q_nearest_grid,
+        # spatial flagship path (J1/J2/J3/J5/J6, S4, S10) — r5 rotation:
+        # J5 via the salted skew variant, J1 via the k=3 variant
+        "q_salted_pip": q_salted_pip,
+        "q_knn_k3": q_knn_k3,
         "q_zonal_stats": q_zonal_stats,
         "q_rasterize": q_rasterize,
         # media payloads (§2.10a/d + audio/video)
@@ -5546,16 +5832,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gee_scan": q_gee_scan,               # S8 collection scan (new r4)
         "q_stream_windowed": q_stream_windowed,
         "q_stateful_dedup": q_stateful_dedup,   # applyInPandasWithState path
-        # weather time-series (A1/W1/W2, J9, J10, J8, W4/P7)
-        "q_monthly_normals": q_monthly_normals,
+        # weather time-series (A1/W1/W2, J9, J10, J8, W4/P7) — r5: the
+        # composed §3.2 lifecycle carries the whole normals chain + ws fill
+        "q_weather_pipeline": q_weather_pipeline,
         "q_heat_units": q_heat_units,
         "q_pair_seasons": q_pair_seasons,
         "q_missing_dates": q_missing_dates,
         "q_interpolate": q_interpolate,
-        # relational soil pipeline (A2/A3/P1/J4/P5/W10)
+        # relational soil pipeline (A2/A3-A4/J4/P5/W10) — r5 rotation:
+        # grouped-percentile via the envelope, J4 via the bucketed layout
         "q_dominant_component": q_dominant_component,
-        "q_depth_median": q_depth_median,
-        "q_soil_projection": q_soil_projection,
+        "q_percentile_envelope": q_percentile_envelope,
+        "q_bucketed_join": q_bucketed_join,
         "q_select_range": q_select_range,
         # driver-table relational windows / sessions
         "q_rolling_median_events": q_rolling_median_events,
@@ -5573,36 +5861,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redact_pii": q_redact_pii,           # PII scrub (map-only)
         "q_curation": q_curation,               # composed pipeline (incl. lang+quality)
         "q_cosine_topk": q_cosine_topk,
-        "q_ivf_topk": q_ivf_topk,
+        "q_pq_topk": q_pq_topk,               # r5 rotation: ANN scale path
         # phenology / smoothing / validation / schedule ops (W5-W9, P2, §2.6)
-        "q_decontaminate": q_decontaminate,      # benchmark n-gram decontamination
-        "q_smooth_gaussian": q_smooth_gaussian,  # W6 method 2 (new r4)
+        "q_dedup_spans": q_dedup_spans,          # r5 rotation: span-level hygiene
+        "q_smooth_savgol": q_smooth_savgol,      # r5 rotation: W6 method 1
         "q_count_seasons": q_count_seasons,
-        "q_double_logistic": q_double_logistic,
-        "q_opc_validate": q_opc_validate,        # W5 monotonic/coverage validator
+        "q_harmonic_fit": q_harmonic_fit,        # r5 rotation: W8 fit 2
+        "q_validate_dly": q_validate_dly,        # r5 rotation: range validators
         "q_required_columns": q_required_columns,  # P2 (new r4)
         "q_registry_hook": q_registry_hook,      # §2.9 extension point
         "q_outer_coalesce": q_outer_coalesce,
         "q_envelope_clip": q_envelope_clip,
         "q_opc_append": q_opc_append,
         # --- tail: family already represented above (safe under any cap) ---
-        "q_salted_pip": q_salted_pip,               # J5 skew variant: q_tile_assign
-        "q_bucketed_join": q_bucketed_join,         # J4 bucketed: q_soil_projection
-        "q_harmonic_fit": q_harmonic_fit,           # W8 fit 2: q_double_logistic
-        "q_knn_k3": q_knn_k3,                       # J1: q_nearest_grid (same op, k=3)
-        "q_bbox_clip": q_bbox_clip,                 # P6: q_tile_assign
-        "q_asym_gaussian": q_asym_gaussian,         # W8: q_double_logistic
+        "q_tile_assign": q_tile_assign,             # J5 base: q_salted_pip (r5 rot.)
+        "q_soil_projection": q_soil_projection,     # P1+J4: q_bucketed_join (r5 rot.)
+        "q_double_logistic": q_double_logistic,     # W8 fit 1: q_harmonic_fit (r5 rot.)
+        "q_nearest_grid": q_nearest_grid,           # J1 k=1: q_knn_k3 (r5 rot.)
+        "q_monthly_normals": q_monthly_normals,     # A1: inside q_weather_pipeline
+        "q_bbox_clip": q_bbox_clip,                 # P6: q_salted_pip
+        "q_asym_gaussian": q_asym_gaussian,         # W8: q_harmonic_fit
         "q_lai_profile": q_lai_profile,             # W4: q_interpolate
         "q_top_order_per_customer": q_top_order_per_customer,  # A2 argmax
         "q_customers_without_orders": q_customers_without_orders,  # J8 anti
         "q_next_order_asof": q_next_order_asof,     # J10: q_pair_seasons
         "q_union_dedup": q_union_dedup,             # §2.6: q_opc_append
         "q_brand_revenue": q_brand_revenue,         # J4 star: q_soil_projection
-        "q_pricing_summary": q_pricing_summary,     # multi-agg: q_monthly_normals
-        "q_percentile_envelope": q_percentile_envelope,  # A4: exact percentile agg
+        "q_pricing_summary": q_pricing_summary,     # multi-agg: q_weather_pipeline
+        "q_depth_median": q_depth_median,           # A3: q_percentile_envelope (r5)
         "q_local_supplier_volume": q_local_supplier_volume,  # J4 star
         "q_audio_resample": q_audio_resample,       # audio: q_audio_features
-        "q_validate_dly": q_validate_dly,           # validators: q_opc_validate
+        "q_opc_validate": q_opc_validate,           # W5: q_validate_dly (r5 rot.)
         "q_resume_pending": q_resume_pending,       # P3: subsumed by q_resume_metrics
         "q_lang_id": q_lang_id,                     # in q_curation lang stage
         "q_quality_scores": q_quality_scores,       # in q_curation quality stage
@@ -5621,7 +5910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_bigrams": q_vocab_bigrams,          # corpus vocab top-k
         "q_quantize_embeddings": q_quantize_embeddings,  # int8 ANN quantization
         "q_phash_near_dup": q_phash_near_dup,        # banded hamming image dedup
-        "q_smooth_savgol": q_smooth_savgol,          # W6 method 1: q_smooth_gaussian
+        "q_smooth_gaussian": q_smooth_gaussian,      # W6 method 2: q_smooth_savgol
         "q_boilerplate": q_boilerplate,              # CCNet line-level removal
         "q_sample_to_mix": q_sample_to_mix,          # exact domain-mix blend
         "q_aspect_buckets": q_aspect_buckets,        # aspect-ratio batching
@@ -5632,7 +5921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shuffle_rows": q_shuffle_rows,            # deterministic global shuffle
         "q_zorder_layout": q_zorder_layout,          # Morton spatial layout key
         "q_split_assign": q_split_assign,            # train/val/test hash bands
-        "q_dedup_spans": q_dedup_spans,              # passage-level span dedup
+        "q_decontaminate": q_decontaminate,          # n-gram overlap: q_dedup_spans
         "q_normalize_text": q_normalize_text,        # mojibake/unicode cleanup
         "q_url_dedup": q_url_dedup,                  # URL canonicalization dedup
         "q_bm25_topk": q_bm25_topk,                  # BM25 lexical retrieval
@@ -5654,11 +5943,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crossmodal_dedup": q_crossmodal_dedup,    # image+caption joint dedup
         "q_hex_assign": q_hex_assign,                # H3-style hex cell binning
         "q_stream_join": q_stream_join,              # stream-stream interval join
+        "q_stream_join_outer": q_stream_join_outer,  # left-outer variant (r5)
         "q_convex_hull": q_convex_hull,              # per-group monotone-chain hull
         "q_idw": q_idw,                              # inverse-distance interpolation
         "q_geo_pipeline": q_geo_pipeline,            # composed spatial curation
         "q_change_detect": q_change_detect,          # temporal raster change map
-        "q_pq_topk": q_pq_topk,                      # product-quantization ADC ANN
+        "q_ivf_topk": q_ivf_topk,                    # IVF ANN: q_pq_topk (r5 rot.)
         "q_pagerank": q_pagerank,                    # link-graph quality prior
         "q_mosaic": q_mosaic,                        # best-pixel compositing
         "q_augment": q_augment,                      # deterministic augmentation
@@ -5673,6 +5963,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zonal_stats": _sql_zonal_stats(),
         "q_rasterize": _sql_rasterize(),
         "q_monthly_normals": _sql_monthly_normals(),
+        "q_weather_pipeline": _sql_weather_pipeline(),
         "q_heat_units": _sql_heat_units(),
         "q_pair_seasons": _sql_pair_seasons(),
         "q_missing_dates": _sql_missing_dates(),
@@ -5783,6 +6074,7 @@ def oracle_sql() -> dict[str, str]:
         "q_crossmodal_dedup": _sql_crossmodal_dedup(),
         "q_hex_assign": _sql_hex_assign(),
         "q_stream_join": _sql_stream_join(),
+        "q_stream_join_outer": _sql_stream_join_outer(),
         "q_convex_hull": _sql_convex_hull(),
         "q_idw": _sql_idw(),
         "q_geo_pipeline": _sql_geo_pipeline(),

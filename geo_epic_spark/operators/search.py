@@ -110,12 +110,15 @@ def bm25_topk(
     scored = per_term.groupBy(q_key, key).agg(
         F.round(F.sum("score_t"), 6).alias("score")
     )
-    w = Window.partitionBy(q_key).orderBy(F.desc("score"), F.col(key))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_key, key, "score", "rank")
-    )
+    # two-phase rank (r5): matched-doc counts are query-dependent — a stop
+    # wordy query matches most of the corpus, and a single per-query window
+    # task would sort it alone. _ranked_topk reduces each post-agg
+    # partition to k rows per query first.
+    from geo_epic_spark.operators.similarity import _ranked_topk
+
+    return _ranked_topk(
+        scored, q_key, k, [F.desc("score"), F.col(key)]
+    ).select(q_key, key, "score", "rank")
 
 
 def sql_bm25_topk(

@@ -22,6 +22,30 @@ def _norm(a) -> F.Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def _ranked_topk(scored: DataFrame, q_key: str, k: int, order) -> DataFrame:
+    """Deterministic per-query top-k in TWO window phases (r5): phase 1
+    ranks within (query, SOURCE partition) — `spark_partition_id()` is
+    stamped before any shuffle, so the heavy sort runs at input
+    parallelism and each source partition forwards at most k survivor
+    rows per query; phase 2 ranks the ≤ n_partitions·k survivors. A
+    single `Window.partitionBy(q_key)` is ONE task per query sorting the
+    whole scored corpus — the 10^9-row brute-force scan collapses to
+    n_queries-way parallelism exactly when it is most expensive. Output is
+    identical for any TOTAL order (ties broken by a unique key column):
+    every global top-k row is also in its own source partition's top-k."""
+    part = scored.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy(q_key, "__pid").orderBy(*order)
+    survivors = (
+        part.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__pid", "__r1")
+    )
+    w = Window.partitionBy(q_key).orderBy(*order)
+    return survivors.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -33,17 +57,15 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k: broadcast the query set over the vector
     table, rank per query. All arithmetic in `F.zip_with`/`F.aggregate` —
-    JVM-side, no Python."""
+    JVM-side, no Python. Ranking is the two-phase `_ranked_topk` (source
+    partitions reduce to k rows/query before the per-query shuffle)."""
     q = F.broadcast(queries.select(F.col(q_key), F.col(q_vec)))
     joined = vectors.select(key, vec).crossJoin(q)
     cos = _dot(F.col(vec), F.col(q_vec)) / (_norm(F.col(vec)) * _norm(F.col(q_vec)))
-    w = Window.partitionBy(q_key).orderBy(F.desc("cosine"), F.asc(key))
-    return (
-        joined.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_key, key, "rank", "cosine")
-    )
+    return _ranked_topk(
+        joined.withColumn("cosine", cos), q_key, k,
+        [F.desc("cosine"), F.asc(key)],
+    ).select(q_key, key, "rank", "cosine")
 
 
 def cosine_topk_arrow(
@@ -321,13 +343,10 @@ def ivf_topk(
     ).drop("__d2")
     joined = vectors_assigned.join(F.broadcast(q), on="ivf_list")
     cos = _dot(F.col(vec), F.col(q_vec)) / (_norm(F.col(vec)) * _norm(F.col(q_vec)))
-    w = Window.partitionBy(q_key).orderBy(F.desc("cosine"), F.asc(key))
-    return (
-        joined.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_key, key, "rank", "cosine")
-    )
+    return _ranked_topk(
+        joined.withColumn("cosine", cos), q_key, k,
+        [F.desc("cosine"), F.asc(key)],
+    ).select(q_key, key, "rank", "cosine")
 
 
 def quantize_embeddings(
@@ -442,13 +461,10 @@ def pq_topk(
             F.element_at(F.col("__lut"), i),
             (F.element_at(F.col("pq_codes"), i) + F.lit(1)).cast("int")),
     )
-    w = Window.partitionBy(q_key).orderBy(F.asc("adc_dist"), F.asc(key))
-    return (
-        joined.withColumn("adc_dist", adc)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_key, key, "rank", "adc_dist")
-    )
+    return _ranked_topk(
+        joined.withColumn("adc_dist", adc), q_key, k,
+        [F.asc("adc_dist"), F.asc(key)],
+    ).select(q_key, key, "rank", "adc_dist")
 
 
 def pq_topk_rerank(

@@ -239,6 +239,7 @@ def interval_join_streams(
     ts_right: str = "ts_r",
     lookback: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ):
     """Stream-stream event-time interval join (the attribution join): each
     LEFT event pairs with RIGHT events of the same key whose timestamp
@@ -251,13 +252,30 @@ def interval_join_streams(
     every micro-batch). State is keyed on ``key`` — the shuffle key — so
     hot users are the AQE-skew case exactly as in the batch engine.
 
-    Inner join only here: it is deterministic under replay (outer
-    stream-stream joins emit null-padded rows whose timing depends on
-    watermark advancement across micro-batches — replay-dependent output
-    does not belong in a correctness-gated engine surface).
+    ``how``: ``'inner'`` (default) or ``'left_outer'`` (the attribution
+    use-case "impressions with no click"). Outer semantics: matched pairs
+    are emitted as they join, exactly as inner; an UNMATCHED left row is
+    null-padded and emitted only once the watermark guarantees no
+    qualifying right row can still arrive — i.e. when the event-time
+    watermark passes the row's own timestamp (its match window is
+    ``[ts_l - lookback, ts_l]``, and any right row below the watermark is
+    dropped as late). Under an availableNow replay the engine runs a final
+    no-data micro-batch with watermark = max(event time) - ``watermark``,
+    so the null-padded rows for the WATERMARK-CLOSED region (ts_left <
+    that final watermark) are all emitted, while unmatched left rows
+    younger than the final watermark stay in state and are NOT emitted —
+    deterministic given the input, but only the closed region is
+    batch-equivalent. Oracle strategy (q_stream_join_outer): clamp both
+    engines to ts_left <= max_ts - watermark - margin and compare against
+    the batch LEFT join there.
     """
     from pyspark.sql import functions as F
 
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how={how!r}: stream-stream interval join supports 'inner' "
+            "and 'left_outer' (right/full outer would need the symmetric "
+            "watermark bound on ts_left; add when a use-case appears)")
     l = left.withWatermark(ts_left, watermark)
     r = right.withWatermark(ts_right, watermark)
     cond = (
@@ -265,4 +283,4 @@ def interval_join_streams(
         & (r[ts_right] >= l[ts_left] - F.expr(f"INTERVAL {lookback}"))
         & (r[ts_right] <= l[ts_left])
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    return l.join(r, cond, how).drop(r[key])

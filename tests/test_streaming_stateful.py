@@ -312,3 +312,66 @@ class TestIntervalJoin:
         q.awaitTermination()
         got = [(r.eid, r.cid) for r in spark.table(name).collect()]
         assert got == [(2, 1)]
+
+    def test_left_outer_null_emission_timing(self, spark, tmp_path):
+        """Pin WHEN the null-padded side of a left-outer stream-stream
+        interval join is emitted (r5): an unmatched left row is released
+        only after the event-time watermark passes its own timestamp.
+        With availableNow the final no-data batch runs at watermark
+        max(ts) - delay, so an old unmatched error IS null-emitted, a
+        young unmatched error (inside the watermark horizon) is NOT —
+        it stays in state awaiting a possible future click."""
+        import uuid
+
+        from geo_epic_spark.streaming.stateful import interval_join_streams
+
+        rows = [
+            # user 1: unmatched error far below the final watermark -> null row
+            (1, 1, "error", "2024-01-01 08:00:00"),
+            # user 2: matched pair (click 10:00 within 10m before error 10:05)
+            (2, 2, "click", "2024-01-01 10:00:00"),
+            (3, 2, "error", "2024-01-01 10:05:00"),
+            # user 3: unmatched error ABOVE the final watermark (12:00 - 1h)
+            (4, 3, "error", "2024-01-01 11:55:00"),
+            # user 4: click that only advances max event time to 12:00
+            (5, 4, "click", "2024-01-01 12:00:00"),
+        ]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+            .write.parquet(src)
+
+        def stream():
+            return spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            ).parquet(src)
+
+        errors = stream().where("event_type = 'error'").select(
+            F.col("event_id").alias("eid"), "user_id", F.col("ts").alias("ts_l"))
+        clicks = stream().where("event_type = 'click'").select(
+            F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("ts_r"))
+        joined = interval_join_streams(errors, clicks, lookback="10 minutes",
+                                       watermark="1 hour", how="left_outer")
+        name = "tijo_" + uuid.uuid4().hex[:8]
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = sorted((r.eid, r.cid) for r in spark.table(name).collect())
+        # eid=1 null-emitted (watermark-closed), eid=3 matched,
+        # eid=4 withheld (young unmatched -> still in state)
+        assert got == [(1, None), (3, 2)]
+
+    def test_interval_join_rejects_unsupported_how(self, spark):
+        import pytest
+
+        from geo_epic_spark.streaming.stateful import interval_join_streams
+
+        df = spark.range(1).select(
+            F.col("id").alias("user_id"),
+            F.current_timestamp().alias("ts_l"))
+        with pytest.raises(ValueError, match="left_outer"):
+            interval_join_streams(df, df.withColumnRenamed("ts_l", "ts_r"),
+                                  how="full_outer")
