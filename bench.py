@@ -23,8 +23,17 @@ import pyspark.sql.functions as F  # noqa: E402
 
 from geo_epic_spark import synth  # noqa: E402
 from geo_epic_spark.images.udfs import decode_stats, full_images_df  # noqa: E402
-from geo_epic_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
-from geo_epic_spark.operators.similarity import cosine_topk  # noqa: E402
+from geo_epic_spark.operators.dedup import (  # noqa: E402
+    hamming_near_dup_pairs,
+    minhash_lsh_pairs,
+)
+from geo_epic_spark.operators.mapalgebra import focal_stats  # noqa: E402
+from geo_epic_spark.operators.search import bm25_topk  # noqa: E402
+from geo_epic_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    pq_encode_arrow,
+    pq_topk,
+)
 from geo_epic_spark.operators.spatial import (  # noqa: E402
     nearest_grid_join,
     pip_join,
@@ -36,6 +45,18 @@ from geo_epic_spark.session import get_spark  # noqa: E402
 # table per BASELINE.json; relational/text queries use the driver's sf dir)
 N_IMG = int(os.environ.get("BENCH_N_IMG", "1000000"))
 N_DECODE = int(os.environ.get("BENCH_N_DECODE", "4000"))
+# round-5 kernel-class fixtures (r4 VERDICT item 2: the aggregate-scatter,
+# banded-hamming, lexical-retrieval and compressed-ANN classes were unbenched
+# — a regression there was invisible to the driver). Sizes picked so each
+# timed run lands ~2-5 s on a quiet local[32] — big enough that the kernel
+# (not fixed overhead) dominates, small enough that the suite with its
+# noise-gate retries stays inside the driver's budget; the 1M+/48M-cell
+# points live in scripts/scaling.py + BASELINE.md, not the per-round gate.
+N_HAM = int(os.environ.get("BENCH_N_HAM", "250000"))
+FOCAL_NR = int(os.environ.get("BENCH_FOCAL_NR", "1500"))
+FOCAL_NC = int(os.environ.get("BENCH_FOCAL_NC", "2000"))
+N_BM25 = int(os.environ.get("BENCH_N_BM25", "50000"))
+N_PQ = int(os.environ.get("BENCH_N_PQ", "100000"))
 WARM = os.environ.get("BENCH_WARM", "1") != "0"
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 # ambient-noise gate: hypervisor neighbors idle around load 6-18 on this
@@ -63,6 +84,15 @@ GRID = (200, 320, 0.015625)
 import numpy as np  # noqa: E402
 
 _CAL_A = np.random.Generator(np.random.PCG64(5)).standard_normal((1200, 1200))
+
+# deterministic PQ codebooks (m=8 subspaces x 16 codes x 8 dims, seeded —
+# bench-only fixture; the oracle-verified codebook path is q_pq_topk's)
+_PQ_CODEBOOKS = [
+    [[float(x) for x in code] for code in cb]
+    for cb in np.random.Generator(np.random.PCG64(7)).uniform(
+        -1.0, 1.0, (8, 16, 8)
+    )
+]
 
 
 def _probe() -> float:
@@ -165,6 +195,67 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
             ),
             None,
         ),
+        # --- round-5 kernel classes (r4 VERDICT item 2) ---
+        # banded-hamming class: pigeonhole block join + popcount verify over
+        # 64-bit phashes with planted <=2-bit near-dups (~n/16 true pairs)
+        "hamming_near_dup": (
+            lambda: _count(
+                hamming_near_dup_pairs(
+                    synth.phashes_synth_df(spark, N_HAM).repartition(64),
+                    key="img_id", hash_col="phash", max_hamming=4,
+                    expected_n=N_HAM,
+                )
+            ),
+            N_HAM,
+        ),
+        # aggregate-scatter class: 3x3 focal mean/min/max/count over a
+        # 3M-cell raster-as-table (9x explode -> one hash agg)
+        "focal_stats": (
+            lambda: _count(
+                focal_stats(
+                    synth.soil_grid_df(spark, FOCAL_NR, FOCAL_NC, 0.001)
+                    .repartition(64),
+                    nc=FOCAL_NC, nr=FOCAL_NR, value="mukey",
+                )
+            ),
+            FOCAL_NR * FOCAL_NC,
+        ),
+        # lexical-retrieval class: BM25 top-10 for 8 x 50-term queries over
+        # a 100k-doc synthetic corpus (dl computed before explode; no
+        # corpus-joins-corpus anywhere)
+        "bm25_topk": (
+            lambda: _count(
+                bm25_topk(
+                    synth.documents_synth_df(spark, N_BM25).repartition(64),
+                    synth.documents_synth_df(spark, N_BM25)
+                    .filter(F.col("doc_id") % (N_BM25 // 8) == 7)
+                    .select(F.col("doc_id").alias("q_id"),
+                            F.col("text").alias("q_text")),
+                    key="doc_id", k=10,
+                )
+            ),
+            N_BM25,
+        ),
+        # compressed-ANN class: Arrow PQ encode (m=8 subspaces x 16 codes,
+        # one vectorized argmin per batch — the 10^9-row kernel; the
+        # interpreted-HOF pq_encode stays the oracle path) + ADC top-10 for
+        # 8 queries over 64-dim vectors
+        "pq_topk": (
+            lambda: _count(
+                pq_topk(
+                    pq_encode_arrow(
+                        synth.embeddings_synth_df(spark, N_PQ).repartition(64),
+                        _PQ_CODEBOOKS,
+                    ),
+                    synth.embeddings_synth_df(spark, N_PQ)
+                    .filter(F.col("vec_id") % (N_PQ // 8) == 3)
+                    .select(F.col("vec_id").alias("q_id"),
+                            F.col("embedding").alias("q_vec")),
+                    _PQ_CODEBOOKS, k=10,
+                )
+            ),
+            N_PQ,
+        ),
         # payload axis: generate -> encode -> decode -> feature-extract over
         # Arrow batches (images/sec throughput of the multimodal stage)
         "image_decode": (
@@ -266,6 +357,14 @@ def main() -> None:
                 "metric": "headline suite wall time (flagship: tile_assign rows/s)",
                 "value": total,
                 "unit": "sec",
+                # round-over-round continuity: the suite grew from 7 to 11
+                # queries in r5 (VERDICT item 2) — this is the sum over the
+                # original 7 so r1-r4 totals stay comparable
+                "value_r4_subset": round(
+                    sum(res[k]["sec"] for k in (
+                        "tile_assign", "nearest_grid", "zonal_stats",
+                        "pricing_summary", "minhash_lsh", "cosine_topk",
+                        "image_decode") if k in res), 3),
                 "queries": {k: v["sec"] for k, v in res.items()},
                 "median": {k: v["median_sec"] for k, v in res.items()},
                 "runs_per_query": N_RUNS,

@@ -422,6 +422,47 @@ def pq_encode(
     return vectors.withColumn("pq_codes", F.array(*codes))
 
 
+def pq_encode_arrow(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy variant of ``pq_encode`` — the 10^9-row encode kernel.
+
+    ``pq_encode``'s Column HOFs evaluate interpreted (higher-order lambdas
+    never enter whole-stage codegen), which measures ~20k rows/s/32-threads
+    at m=8 x 16 codes: ~14 hours per 10^9 rows. Here each Arrow batch does
+    one vectorized ``(n, codes, dsub)`` distance broadcast + argmin per
+    subspace — same m x codes x dsub multiply count at numpy speed (~100x).
+    Map-only (zero shuffle), exactly like the minhash signature stage.
+
+    Parity with ``pq_encode`` is pinned in pytest: identical codes on the
+    synth fixture (ties go to the lowest code in both — np.argmin and
+    ``array_position(min)`` agree; fp summation order can differ in the
+    last ulp, which only matters for exact distance ties between DISTINCT
+    codes — measure-zero for real codebooks). Use the Column version when
+    the DuckDB oracle must replay the encode; this one everywhere else."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    dsub = cbs[0].shape[1]
+
+    def _enc(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        codes = np.empty((len(x), len(cbs)), dtype=np.int64)
+        for i, cb in enumerate(cbs):
+            sub = x[:, i * dsub:(i + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            codes[:, i] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    enc = pandas_udf(_enc, "array<long>")
+    return vectors.withColumn("pq_codes", enc(F.col(vec)))
+
+
 def pq_topk(
     encoded: DataFrame,
     queries: DataFrame,

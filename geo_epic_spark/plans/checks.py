@@ -86,3 +86,32 @@ def codegen_stage_count(df: DataFrame) -> int:
     s = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     # finalized plans mark codegen stages as '*(n) Operator'
     return len(set(re.findall(r"\*\((\d+)\)", s)))
+
+
+def scan_metrics(df: DataFrame) -> list[dict]:
+    """Execute ``df`` (collect) and return each file-scan leaf's runtime
+    metrics from the EXECUTED plan — {'numFiles', 'numOutputRows',
+    'filesSize', ...} per scan. 'numOutputRows' is the rows the parquet
+    reader actually MATERIALIZED after partition + row-group stats pruning
+    (record-level pushdown filtering is off by default, so surviving row
+    groups emit whole) — the storage-layout witness tests/test_layout.py
+    pins. Use on test-sized frames: the collect is real."""
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    # under AQE the root is AdaptiveSparkPlanExec; its leaves are reachable
+    # through the finalized plan
+    if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        ep = ep.executedPlan()
+    out = []
+    leaves = ep.collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if "FileSourceScan" not in leaf.getClass().getSimpleName():
+            continue
+        m = {}
+        it = leaf.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            m[kv._1()] = kv._2().value()
+        out.append(m)
+    return out

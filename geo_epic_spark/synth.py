@@ -476,3 +476,41 @@ def documents_synth_df(
     return spark.range(n_docs).select(
         d.alias("doc_id"), F.array_join(words, " ").alias("text")
     )
+
+
+def phashes_synth_df(spark: SparkSession, n: int, dup_every: int = 16) -> DataFrame:
+    """Deterministic 64-bit perceptual-hash table with planted near-dups:
+    every ``dup_every``-th row (i % dup_every == 1) copies the PREVIOUS
+    row's hash with <=2 bits flipped (positions i*7 % 63 and i*13 % 63), so
+    a hamming <= 4 near-dup join over this table does representative
+    banded-join + popcount-verify work at any size — the bench fixture for
+    ``hamming_near_dup_pairs``. Originals are xxhash64(i): effectively
+    uniform over 2^64, so un-planted pairs essentially never collide and
+    the result size tracks the planted count (~n/dup_every). All Column
+    arithmetic; generation never dominates what it feeds."""
+    i = F.col("id")
+    is_dup = (i % F.lit(dup_every) == 1) & (i > 0)
+    base = F.when(is_dup, i - 1).otherwise(i)
+    h = F.xxhash64(base)
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pmod(id * 7, 63) AS INT))"
+        " | shiftleft(CAST(1 AS BIGINT), CAST(pmod(id * 13, 63) AS INT))"
+    )
+    return spark.range(n).select(
+        i.alias("img_id"),
+        F.when(is_dup, h.bitwiseXOR(mask)).otherwise(h).alias("phash"),
+    )
+
+
+def embeddings_synth_df(spark: SparkSession, n: int, dim: int = 64) -> DataFrame:
+    """Deterministic dense embeddings: component j of vector v is
+    ``(xxhash64(v, j) mod 2001 - 1000) / 1000`` — uniform in [-1, 1],
+    JVM-side Column arithmetic from ``spark.range`` (scales to the bench
+    sizes without any driver-side data). The ANN bench fixture."""
+    v = F.col("id")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.pmod(F.xxhash64(v, j), F.lit(2001)) - F.lit(1000)).cast("double")
+        / F.lit(1000.0),
+    )
+    return spark.range(n).select(v.alias("vec_id"), emb.alias("embedding"))

@@ -825,3 +825,29 @@ class TestPQ:
         d2 = ((v - v[5]) ** 2).sum(axis=1)
         want = np.lexsort((np.arange(len(v)), d2))[:5].tolist()
         assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)] == want
+
+    def test_arrow_encode_parity(self, spark):
+        """pq_encode_arrow (the 10^9-row kernel) must emit the identical
+        codes column as the oracle-replayable Column-HOF pq_encode —
+        including the ties-to-lowest-code rule — on the deterministic
+        synth embeddings with a seeded random codebook."""
+        import numpy as np
+
+        from geo_epic_spark import synth
+        from geo_epic_spark.operators.similarity import pq_encode, pq_encode_arrow
+
+        cb = [
+            [[float(x) for x in code] for code in sub]
+            for sub in np.random.Generator(np.random.PCG64(7)).uniform(
+                -1.0, 1.0, (8, 16, 8))
+        ]
+        df = synth.embeddings_synth_df(spark, 300)
+        a = {r.vec_id: list(r.pq_codes) for r in pq_encode(df, cb).collect()}
+        b = {r.vec_id: list(r.pq_codes)
+             for r in pq_encode_arrow(df, cb).collect()}
+        assert a == b
+        # duplicate-centroid tie: both pick the lowest code
+        tie_cb = [[[0.0], [0.0]], [[1.0], [1.0]]]
+        tdf = spark.createDataFrame([(0, [0.4, 1.1])],
+                                    "vec_id long, embedding array<double>")
+        assert list(pq_encode_arrow(tdf, tie_cb).collect()[0].pq_codes) == [0, 0]
