@@ -99,3 +99,64 @@ def test_sessionize_single_exchange(spark):
     plan = formatted_plan(df)
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan
+
+
+def test_aqe_skew_join_splits_hot_cell(spark):
+    """North-rule AQE witness (r4 VERDICT item 4): on the planted hot cell
+    (synth.images_meta_df puts 20% of rows in a 0.2x0.15 deg box — ONE
+    0.25-deg covering cell, ~60x the median cell), a shuffled cell join
+    under AQE skew settings must actually SPLIT the hot partition:
+    `SortMergeJoin(skew=true)` with an `AQEShuffleRead ... skewed` input in
+    the final adaptive plan. Thresholds are scaled to test bytes the same
+    way they would be scaled to 256MB defaults at cluster scale — the
+    mechanism, not the constant, is what's pinned. `add_salt`
+    (q_salted_pip) is the manual alternative; this proves the automatic
+    path the north rule names.
+
+    Gotchas this test encodes (found while building it): AQE refuses
+    the split when the join's partitioning is REUSED downstream (a
+    groupBy on the join key right after would veto it — the downstream agg
+    here is key-free), and the skew factor compares against the MEDIAN map
+    partition, so the right side must be big enough not to be broadcast.
+    """
+    import re
+
+    from geo_epic_spark import synth
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in conf:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        pts = synth.images_meta_df(spark, 2_000_000).select("i", "cx", "cy")
+        cell = (
+            F.floor(F.col("cx") / 0.25).cast("long") * 10000
+            + F.floor(F.col("cy") / 0.25).cast("long")
+        ).alias("cell_id")
+        left = pts.select("i", cell)
+        right = left.select("cell_id").distinct().join(
+            spark.range(20).select(F.col("id").alias("k")), how="cross")
+        j = left.join(right, "cell_id").agg(F.count(F.lit(1)).alias("n"))
+        (row,) = j.collect()
+        assert row.n == 40_000_000  # every point x 20 payload rows
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert re.search(r"AQEShuffleRead.*skewed", plan), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
