@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 DAYS_IN_MONTH = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
 
 
-def monthly_normals(daily: DataFrame, by: list[str] | None = None) -> DataFrame:
+def monthly_normals(
+    daily: DataFrame,
+    by: list[str] | None = None,
+    wet_threshold: float = 0.5,
+) -> DataFrame:
     """`DLY.to_monthly` (`io/inputs.py:293-332`) as one Spark plan.
 
     Per (group, month): means of all climate columns; prcp scaled by
@@ -32,10 +36,13 @@ def monthly_normals(daily: DataFrame, by: list[str] | None = None) -> DataFrame:
 
     ``by``: extra partition columns (e.g. site/cell id) — the reference is
     per-site by construction; here one plan covers every site.
+    ``wet_threshold``: the prcp cutoff defining a wet day (reference
+    hard-codes 0.5; exposed for the calibration loop in
+    scripts/calibrate_example.py).
     """
     by = by or []
     month = F.month("date").alias("month")
-    wet = (F.col("prcp") > 0.5).cast("int")
+    wet = (F.col("prcp") > F.lit(wet_threshold)).cast("int")
     w_lag = Window.partitionBy(*by, F.month("date")).orderBy("date")
     d = (
         daily.withColumn("month", month)

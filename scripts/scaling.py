@@ -41,6 +41,9 @@ N_HASH = int(os.environ.get("SCALING_N_HASH", "8000000"))
 # (nc fixed at 6000 columns) — the shuffle-AGGREGATE kernel class, distinct
 # from the join-bound pip/minhash/hamming evidence
 N_CELLS = int(os.environ.get("SCALING_N_CELLS", "24000000"))
+# pq: Arrow PQ encode + broadcast ADC top-k over N_VECS synthetic 64-dim
+# embeddings — the Pandas-UDF/Arrow kernel class (new r5)
+N_VECS = int(os.environ.get("SCALING_N_VECS", "2000000"))
 # N and 4N parallelism levels. Default 4->16: with 32 physical cores the
 # 8->32 pair saturates the socket's memory bandwidth probing the shared
 # broadcast hash table (a single-box artifact a multi-executor cluster does
@@ -109,6 +112,31 @@ def measure(cpus: int) -> dict:
         def job():
             return focal_stats(dem, nc=nc, nr=nr, value="elev",
                                stats=("mean", "count")).count()
+    elif OP == "pq":
+        # Arrow-kernel class (r5): vectorized PQ encode (mapInArrow-style
+        # pandas_udf, the 10^9-row compressed-ANN path) + broadcast ADC
+        # top-k — scaling evidence for the Python/Arrow stage family, which
+        # pays per-batch JVM<->Python transfer the pure-JVM classes don't.
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from geo_epic_spark.operators.similarity import pq_encode_arrow, pq_topk
+
+        cb = [
+            [[float(x) for x in code] for code in sub]
+            for sub in np.random.Generator(np.random.PCG64(7)).uniform(
+                -1.0, 1.0, (8, 16, 8))
+        ]
+        vecs = synth.embeddings_synth_df(spark, N_VECS).repartition(4 * cpus)
+        q = (
+            synth.embeddings_synth_df(spark, N_VECS)
+            .filter(F.col("vec_id") % (N_VECS // 8) == 3)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec"))
+        )
+
+        def job():
+            return pq_topk(pq_encode_arrow(vecs, cb), q, cb, k=10).count()
     else:
         imgs = synth.images_meta_df(spark, N_IMG).select("i", "cx", "cy")
         flds = synth.fields_df(spark, N_POLY).select("poly_id", "xs", "ys")
@@ -154,14 +182,16 @@ def main() -> None:
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
         res[cpus] = json.loads(line[len("RESULT "):])
-    n_rows = {"minhash": N_DOCS, "hamming": N_HASH, "focal": N_CELLS}.get(OP, N_IMG)
+    n_rows = {"minhash": N_DOCS, "hamming": N_HASH, "focal": N_CELLS,
+              "pq": N_VECS}.get(OP, N_IMG)
     thr_lo = n_rows / res[lo]["sec"]
     thr_hi = n_rows / res[hi]["sec"]
     eff = thr_hi / ((hi / lo) * thr_lo)
     print(json.dumps({
         "job": {"minhash": "minhash_lsh_pairs (dedup)",
                 "hamming": "hamming_near_dup_pairs (image dedup)",
-                "focal": "focal_stats (scatter/aggregate map algebra)"}.get(
+                "focal": "focal_stats (scatter/aggregate map algebra)",
+                "pq": "pq_encode_arrow + pq_topk (Arrow ANN)"}.get(
                     OP, "tile_assign (PIP join)"),
         "n_images": n_rows,
         "n_polys": N_POLY,
