@@ -4395,6 +4395,38 @@ def _sql_zorder_layout() -> str:
     """
 
 
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered STORAGE layout end-to-end (`sources/layout.py`, r5 VERDICT
+    item 3): write 20k synth images range-partitioned + sorted by the
+    Morton key with a zp=z>>16 directory prefix (the Iceberg truncate(z)
+    partition analog), then run a bbox query through `bbox_scan` — corner
+    z-range BETWEEN (valid by per-coordinate monotonicity of the
+    interleave) + zp directory range + the exact lon/lat box. The oracle
+    is the plain bbox filter over the same generated table, so a hash
+    match proves the layout round-trip (write -> partition prune ->
+    row-group prune -> residual filter) loses and invents nothing. The
+    files-read/rows-read REDUCTION the layout exists for is pinned with
+    executed-plan metrics in tests/test_layout.py (PLANS.md has the
+    measured table)."""
+    from geo_epic_spark.sources.layout import bbox_scan, write_zorder_layout
+
+    imgs = synth.images_meta_df(spark, 20000).select("image_id", "cx", "cy")
+    path = _scratch("zorder_scan")
+    write_zorder_layout(imgs, path, n_files=8, partition_prefix_bits=16)
+    out = bbox_scan(spark, path, -97.1, 40.9, -96.8, 41.1,
+                    partition_prefix_bits=16)
+    # cx/cy are exact integer-hash doubles (synth.py contract) — no rounding
+    return out.select("image_id", "cx", "cy")
+
+
+def _sql_zorder_scan() -> str:
+    return f"""
+    WITH imgs AS ({synth.images_meta_sql(20000)})
+    SELECT image_id, cx, cy FROM imgs
+    WHERE cx >= -97.1 AND cx <= -96.8 AND cy >= 40.9 AND cy <= 41.1
+    """
+
+
 def q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle (`shuffle_rows`, ranged method): the
     training-order randomization step — rank under the reproducible
@@ -5920,6 +5952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sessionize": q_stream_sessionize,  # stateful streaming sessions
         "q_shuffle_rows": q_shuffle_rows,            # deterministic global shuffle
         "q_zorder_layout": q_zorder_layout,          # Morton spatial layout key
+        "q_zorder_scan": q_zorder_scan,              # z-layout write+prune roundtrip (r5)
         "q_split_assign": q_split_assign,            # train/val/test hash bands
         "q_decontaminate": q_decontaminate,          # n-gram overlap: q_dedup_spans
         "q_normalize_text": q_normalize_text,        # mojibake/unicode cleanup
@@ -6051,6 +6084,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_sessionize": _sql_stream_sessionize(),
         "q_shuffle_rows": _sql_shuffle_rows(),
         "q_zorder_layout": _sql_zorder_layout(),
+        "q_zorder_scan": _sql_zorder_scan(),
         "q_split_assign": _sql_split_assign(),
         "q_dedup_spans": _sql_dedup_spans(),
         "q_normalize_text": _sql_normalize_text(),
