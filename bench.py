@@ -201,7 +201,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
         "hamming_near_dup": (
             lambda: _count(
                 hamming_near_dup_pairs(
-                    synth.phashes_synth_df(spark, N_HAM).repartition(64),
+                    synth.phashes_synth_df(spark, N_HAM),
                     key="img_id", hash_col="phash", max_hamming=4,
                     expected_n=N_HAM,
                 )
@@ -213,8 +213,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
         "focal_stats": (
             lambda: _count(
                 focal_stats(
-                    synth.soil_grid_df(spark, FOCAL_NR, FOCAL_NC, 0.001)
-                    .repartition(64),
+                    synth.soil_grid_df(spark, FOCAL_NR, FOCAL_NC, 0.001),
                     nc=FOCAL_NC, nr=FOCAL_NR, value="mukey",
                 )
             ),
@@ -226,7 +225,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
         "bm25_topk": (
             lambda: _count(
                 bm25_topk(
-                    synth.documents_synth_df(spark, N_BM25).repartition(64),
+                    synth.documents_synth_df(spark, N_BM25),
                     synth.documents_synth_df(spark, N_BM25)
                     .filter(F.col("doc_id") % (N_BM25 // 8) == 7)
                     .select(F.col("doc_id").alias("q_id"),
@@ -244,8 +243,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, dict]:
             lambda: _count(
                 pq_topk(
                     pq_encode_arrow(
-                        synth.embeddings_synth_df(spark, N_PQ).repartition(64),
-                        _PQ_CODEBOOKS,
+                        synth.embeddings_synth_df(spark, N_PQ), _PQ_CODEBOOKS
                     ),
                     synth.embeddings_synth_df(spark, N_PQ)
                     .filter(F.col("vec_id") % (N_PQ // 8) == 3)

@@ -110,10 +110,11 @@ def bm25_topk(
     scored = per_term.groupBy(q_key, key).agg(
         F.round(F.sum("score_t"), 6).alias("score")
     )
-    # two-phase rank (r5): matched-doc counts are query-dependent — a stop
-    # wordy query matches most of the corpus, and a single per-query window
-    # task would sort it alone. _ranked_topk reduces each post-agg
-    # partition to k rows per query first.
+    # matched-doc counts are query-dependent — a stop-wordy query matches
+    # most of the corpus — so the rank must trim map-side before any
+    # per-query shuffle. _ranked_topk's shape makes the optimizer insert
+    # WindowGroupLimit(Partial): each post-agg partition forwards at most
+    # k rows per query (see _ranked_topk's docstring + plan pin).
     from geo_epic_spark.operators.similarity import _ranked_topk
 
     return _ranked_topk(

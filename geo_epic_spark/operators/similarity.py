@@ -23,25 +23,26 @@ def _norm(a) -> F.Column:
 
 
 def _ranked_topk(scored: DataFrame, q_key: str, k: int, order) -> DataFrame:
-    """Deterministic per-query top-k in TWO window phases (r5): phase 1
-    ranks within (query, SOURCE partition) — `spark_partition_id()` is
-    stamped before any shuffle, so the heavy sort runs at input
-    parallelism and each source partition forwards at most k survivor
-    rows per query; phase 2 ranks the ≤ n_partitions·k survivors. A
-    single `Window.partitionBy(q_key)` is ONE task per query sorting the
-    whole scored corpus — the 10^9-row brute-force scan collapses to
-    n_queries-way parallelism exactly when it is most expensive. Output is
-    identical for any TOTAL order (ties broken by a unique key column):
-    every global top-k row is also in its own source partition's top-k."""
-    part = scored.withColumn("__pid", F.spark_partition_id())
-    w1 = Window.partitionBy(q_key, "__pid").orderBy(*order)
-    survivors = (
-        part.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= k)
-        .drop("__pid", "__r1")
-    )
+    """Deterministic per-query top-k: ONE rank window + a `<= k` filter.
+
+    This exact shape (rank-like window directly under a limit filter) is
+    what Spark's `InferWindowGroupLimit` rewrites into
+    Sort + WindowGroupLimit(**Partial**) BEFORE the exchange: each map
+    partition forwards at most k rows per query, so the heavy sort/trim
+    runs at scan parallelism and the per-query final task ranks only the
+    ≤ n_map_partitions·k survivors — the naive reading "one task per
+    query sorts the whole scored corpus" does not happen on Spark ≥ 3.5.
+    An earlier revision hand-rolled the same bound as two window phases
+    (rank within (query, spark_partition_id()) first); it produced
+    identical rows but one extra Exchange — A/B on the 16M-row PQ ADC
+    scan read 5.45 s two-phase vs 5.02 s single-window at local[16], so
+    the manual phase was retired. tests/test_plans.py pins the
+    WindowGroupLimit(Partial) in the executed plan so an optimizer
+    regression resurfaces as a test failure, not a silent per-query
+    sort of the full corpus. Output is deterministic for any TOTAL
+    order (callers break ties with a unique key column)."""
     w = Window.partitionBy(q_key).orderBy(*order)
-    return survivors.withColumn("rank", F.row_number().over(w)).filter(
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
 
@@ -57,8 +58,9 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k: broadcast the query set over the vector
     table, rank per query. All arithmetic in `F.zip_with`/`F.aggregate` —
-    JVM-side, no Python. Ranking is the two-phase `_ranked_topk` (source
-    partitions reduce to k rows/query before the per-query shuffle)."""
+    JVM-side, no Python. Ranking is `_ranked_topk` (map partitions reduce
+    to k rows/query before the per-query shuffle via the optimizer's
+    WindowGroupLimit — see its docstring)."""
     q = F.broadcast(queries.select(F.col(q_key), F.col(q_vec)))
     joined = vectors.select(key, vec).crossJoin(q)
     cos = _dot(F.col(vec), F.col(q_vec)) / (_norm(F.col(vec)) * _norm(F.col(q_vec)))
@@ -448,6 +450,14 @@ def pq_encode_arrow(
     cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     dsub = cbs[0].shape[1]
 
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, and ||x||^2 is constant across
+    # codes so argmin drops it: argmin_c (||c||^2 - 2 x.c). The matmul form
+    # is compute-dense (BLAS) where the broadcast-subtract form was
+    # memory-bandwidth-bound — measured 2x faster AND it scales with cores
+    # (the (n, codes, dsub) temporaries saturated the socket's bandwidth at
+    # 16 workers; see BASELINE.md "Round-5 evidence").
+    c2 = [np.square(cb).sum(1) for cb in cbs]  # ||c||^2 per subspace
+
     def _enc(v):
         if len(v) == 0:
             return pd.Series([], dtype=object)
@@ -455,8 +465,8 @@ def pq_encode_arrow(
         codes = np.empty((len(x), len(cbs)), dtype=np.int64)
         for i, cb in enumerate(cbs):
             sub = x[:, i * dsub:(i + 1) * dsub]
-            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
-            codes[:, i] = d2.argmin(1)
+            score = c2[i][None, :] - 2.0 * (sub @ cb.T)
+            codes[:, i] = score.argmin(1)
         return pd.Series(list(codes))
 
     enc = pandas_udf(_enc, "array<long>")
@@ -495,13 +505,18 @@ def pq_topk(
     ])
     q = F.broadcast(queries.select(q_key, q_vec).withColumn("__lut", lut))
     joined = encoded.select(key, "pq_codes").crossJoin(q)
-    adc = F.aggregate(
-        F.sequence(F.lit(1), F.lit(m)),
-        F.lit(0.0),
-        lambda s, i: s + F.element_at(
+    # ADC = Σ_i lut[i][code_i]. m is known statically, so unroll the fold
+    # into a plain sum of element_at terms: the unrolled expression enters
+    # whole-stage codegen, whereas an F.aggregate(F.sequence(...)) lambda
+    # evaluates interpreted row-at-a-time — on the (codes × queries)
+    # scan, the one hot path of the whole ADC design. fp addition order is
+    # the identical left-to-right i = 1..m fold, so scores (and the oracle
+    # hash) are bit-identical.
+    adc = F.lit(0.0)
+    for i in range(1, m + 1):
+        adc = adc + F.element_at(
             F.element_at(F.col("__lut"), i),
-            (F.element_at(F.col("pq_codes"), i) + F.lit(1)).cast("int")),
-    )
+            (F.element_at(F.col("pq_codes"), i) + F.lit(1)).cast("int"))
     return _ranked_topk(
         joined.withColumn("adc_dist", adc), q_key, k,
         [F.asc("adc_dist"), F.asc(key)],

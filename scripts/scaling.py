@@ -127,7 +127,7 @@ def measure(cpus: int) -> dict:
             for sub in np.random.Generator(np.random.PCG64(7)).uniform(
                 -1.0, 1.0, (8, 16, 8))
         ]
-        vecs = synth.embeddings_synth_df(spark, N_VECS).repartition(4 * cpus)
+        vecs = synth.embeddings_synth_df(spark, N_VECS)
         q = (
             synth.embeddings_synth_df(spark, N_VECS)
             .filter(F.col("vec_id") % (N_VECS // 8) == 3)

@@ -160,3 +160,31 @@ def test_aqe_skew_join_splits_hot_cell(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_topk_window_trims_map_side(spark):
+    """_ranked_topk relies on the optimizer's InferWindowGroupLimit: the
+    rank-window-under-limit-filter shape must produce a
+    WindowGroupLimit(Partial) BEFORE the per-query exchange, so each map
+    partition forwards at most k rows per query instead of shipping the
+    whole scored relation to one task per query. If this pin breaks on a
+    Spark upgrade, reintroduce the manual two-phase rank (rank within
+    (q_key, spark_partition_id()) first) retired in r5."""
+    import re
+
+    from geo_epic_spark.operators.similarity import cosine_topk
+
+    vecs = synth.embeddings_synth_df(spark, 5000)
+    q = (
+        synth.embeddings_synth_df(spark, 5000)
+        .filter(F.col("vec_id") % 1000 == 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    r = cosine_topk(vecs, q, k=5)
+    assert r.count() == 25
+    plan = r._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # Partial trim below the exchange, Final above it.
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 5, Partial", plan), plan
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 5, Final", plan), plan
+    pre, _, post = plan.partition("Exchange hashpartitioning(q_id")
+    assert "Partial" in post and "Final" in pre, plan
