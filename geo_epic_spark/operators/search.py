@@ -82,6 +82,17 @@ def bm25_topk(
         toks.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy(key, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        # tf feeds BOTH df_t and the scoring join below. The two branches
+        # prune different columns, so their tf subtrees are not identical
+        # and ReuseExchange does NOT fire (verified in the executed plan:
+        # 0 ReusedExchange, the corpus tokenize+explode+semi-join+agg ran
+        # once per branch). tf is the small frame here — pruned to query
+        # terms, ≤ |docs|·|matched terms| rows of 4 scalar columns — so
+        # truncate its lineage once (lazy localCheckpoint, materialized on
+        # first action, executor-local storage) and both branches read the
+        # materialized blocks instead of re-scanning the corpus. Same
+        # pattern as cluster_pairs' per-round checkpoint (dedup.py).
+        .localCheckpoint(eager=False)
     )
     # (key, term) is unique after the agg, so df = row count per term;
     # |rows| ≤ |query terms| — stays tiny
