@@ -15,6 +15,13 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b) -> F.Column:
+    # Deliberately the zip_with+aggregate HOF, NOT a static element_at
+    # unroll: pq_topk's m=8 ADC fold won 2x by unrolling into codegen,
+    # but at dim=64 the 192-term unrolled tree blows past the codegen
+    # method limits and falls back to generic interpreted eval — measured
+    # 10x SLOWER (37 s vs 3.8 s, 500k x 20 pairs) than this specialized
+    # HOF evaluator. Unroll only small static folds; the true fast path
+    # for big corpus x query scans is cosine_topk_arrow (BLAS).
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
@@ -57,13 +64,19 @@ def cosine_topk(
     q_vec: str = "q_vec",
 ) -> DataFrame:
     """Exact brute-force cosine top-k: broadcast the query set over the vector
-    table, rank per query. All arithmetic in `F.zip_with`/`F.aggregate` —
-    JVM-side, no Python. Ranking is `_ranked_topk` (map partitions reduce
-    to k rows/query before the per-query shuffle via the optimizer's
-    WindowGroupLimit — see its docstring)."""
-    q = F.broadcast(queries.select(F.col(q_key), F.col(q_vec)))
-    joined = vectors.select(key, vec).crossJoin(q)
-    cos = _dot(F.col(vec), F.col(q_vec)) / (_norm(F.col(vec)) * _norm(F.col(q_vec)))
+    table, rank per query. All arithmetic JVM-side, no Python; both row
+    norms are hoisted OUT of the (corpus × queries) join — ||v|| is
+    computed once per corpus row and ||q|| once per query row, not once
+    per scored pair (bit-identical: same expressions, same fold). Ranking
+    is `_ranked_topk` (map partitions reduce to k rows/query before the
+    per-query shuffle via the optimizer's WindowGroupLimit)."""
+    q = F.broadcast(
+        queries.select(F.col(q_key), F.col(q_vec))
+        .withColumn("__qn", _norm(F.col(q_vec)))
+    )
+    lhs = vectors.select(key, vec).withColumn("__vn", _norm(F.col(vec)))
+    joined = lhs.crossJoin(q)
+    cos = _dot(F.col(vec), F.col(q_vec)) / (F.col("__vn") * F.col("__qn"))
     return _ranked_topk(
         joined.withColumn("cosine", cos), q_key, k,
         [F.desc("cosine"), F.asc(key)],
@@ -343,8 +356,13 @@ def ivf_topk(
             )
         ),
     ).drop("__d2")
-    joined = vectors_assigned.join(F.broadcast(q), on="ivf_list")
-    cos = _dot(F.col(vec), F.col(q_vec)) / (_norm(F.col(vec)) * _norm(F.col(q_vec)))
+    # norms hoisted out of the candidate join exactly as in cosine_topk:
+    # ||v|| once per candidate row, ||q|| once per (query, probed list).
+    lhs = vectors_assigned.withColumn("__vn", _norm(F.col(vec)))
+    joined = lhs.join(
+        F.broadcast(q.withColumn("__qn", _norm(F.col(q_vec)))), on="ivf_list"
+    )
+    cos = _dot(F.col(vec), F.col(q_vec)) / (F.col("__vn") * F.col("__qn"))
     return _ranked_topk(
         joined.withColumn("cosine", cos), q_key, k,
         [F.desc("cosine"), F.asc(key)],
